@@ -1,38 +1,59 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship parse→enrich→route→aggregate pipeline on
+                sf0.001 (smoke: runs, ≥0 rows, stable schema).
+queries()     — one entry per implemented operator from SURVEY.md §2
+                (+ training-data ops), each (spark, sf_dir) → DataFrame.
+oracle_sql()  — matching DuckDB SQL per query (omitted only for the
+                genuinely non-SQL murmur3 sampler keep-set).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def _prepare(spark: SparkSession) -> None:
+    """Make the package importable on executor workers and pin UTC so
+    window/epoch results are timezone-stable regardless of the
+    driver-created session's defaults."""
+    from opentelemetry_collector_spark.session import ship_package
+
+    ship_package(spark)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    _prepare(spark)
+    from opentelemetry_collector_spark.plans.entry_queries import q_pipeline_errors_agg
+
+    return q_pipeline_errors_agg(spark, "/root/testdata/sf0.001")
+
+
+def _wrap(fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _prepare(spark)
+        return fn(spark, sf_dir)
+
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from opentelemetry_collector_spark.plans.entry_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: _wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from opentelemetry_collector_spark.plans.entry_queries import ORACLES
+
+    return dict(ORACLES)

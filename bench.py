@@ -1,0 +1,77 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line with per-query seconds.
+
+Execution is forced through the noop sink (full materialization of
+every column, no count-only column pruning shortcut, no disk write
+cost), so timings reflect the real operator work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "pipeline_errors_agg",
+    "pipeline_routed_rows",
+    "route_fanout_counts",
+    "agg_window_5min",
+    "enrich_broadcast_region",
+    "sampler_murmur3",
+    "dedup_exact",
+    "tpch_q1",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from opentelemetry_collector_spark.session import get_spark
+    from opentelemetry_collector_spark.plans.entry_queries import QUERIES
+
+    spark = get_spark(app_name="bench", cpus=CPUS, shuffle_partitions=CPUS)
+
+    # warm up the JVM/Arrow paths once so per-query numbers are steady
+    force(QUERIES["pipeline_errors_agg"](spark, SF_DIR).limit(1))
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        force(QUERIES[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    # throughput of the flagship pipeline: turns/sec through
+    # parse→enrich→route→aggregate (turns = input transcript rows)
+    n_turns = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).count()
+    pipeline_sec = timings["pipeline_errors_agg"]
+    sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": CPUS,
+                "pipeline_turns": n_turns,
+                "pipeline_turns_per_sec": round(n_turns / pipeline_sec, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

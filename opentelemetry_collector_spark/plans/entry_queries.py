@@ -1,0 +1,548 @@
+"""Driver-contract query registry: each entry pairs a Spark
+implementation (running this package's real operators) with an
+equivalent ANSI-SQL oracle DuckDB can run on the same parquet tables.
+
+The transcript pipeline queries first derive a deterministic
+transcripts table from the driver's ``events`` table with
+SQL-expressible transforms (window row_number for turn ordering, CASE
+maps for role/tool, string assembly for the grok-able body) — both
+engines derive the identical table, then the Spark side runs the real
+parse → enrich → route → aggregate operators while the oracle computes
+the same result in one SQL statement.
+
+Dialect notes: both engines accept ``||`` concat, CAST AS STRING,
+CASE, floor; epoch-seconds extraction differs (Spark CAST(ts AS LONG),
+DuckDB epoch_us//1000000) and is templated via {EPOCH}. All computed
+numeric columns are CAST explicitly (DuckDB's floor → double, sum(int)
+→ hugeint would otherwise diverge).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import read_table
+
+# ---------------------------------------------------------------------------
+# shared derivation: events → transcripts (identical in both dialects)
+# ---------------------------------------------------------------------------
+
+_TRANSCRIPTS_FROM_EVENTS = """
+SELECT
+  'conv-' || CAST(user_id AS STRING)                                AS conv_id,
+  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT)
+                                                                    AS turn_idx,
+  CASE event_type
+    WHEN 'click'    THEN 'user'
+    WHEN 'view'     THEN 'user'
+    WHEN 'purchase' THEN 'assistant'
+    WHEN 'signup'   THEN 'system'
+    ELSE 'tool' END                                                 AS role,
+  '[' || CASE WHEN value < 100 THEN 'info'
+              WHEN value < 300 THEN 'warn'
+              ELSE 'error' END
+      || '] ' || event_type || ': event ' || CAST(event_id AS STRING)
+      || ' duration=' || CAST(CAST(floor(value * 10) AS BIGINT) AS STRING)
+      || 'ms'                                                       AS text,
+  CASE WHEN event_type = 'error'
+       THEN CASE WHEN value < 245 THEN 'search' ELSE 'python' END
+       END                                                          AS tool,
+  ts
+FROM events
+"""
+
+# role → role_class dim (both sides; Spark joins it broadcast, the
+# oracle folds it as a CASE)
+_ROLE_CLASS_CASE = """
+  CASE role WHEN 'user' THEN 'human' WHEN 'assistant' THEN 'model'
+            WHEN 'system' THEN 'control' WHEN 'tool' THEN 'machine' END
+"""
+_ROLE_DIM_ROWS = [
+    ("user", "human", 9),
+    ("assistant", "model", 10),
+    ("system", "control", 13),
+    ("tool", "machine", 5),
+]
+
+_DUCK_EPOCH = "(epoch_us({col}) // 1000000)"
+
+
+def _epoch_s(col: F.Column) -> F.Column:
+    """Epoch seconds from TIMESTAMP or TIMESTAMP_NTZ (parquet scans
+    yield NTZ in Spark 4; with the session pinned UTC the two agree
+    with DuckDB's epoch_us of the naive value)."""
+    return col.cast("timestamp").cast("long")
+
+
+def _register(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for name in names:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def _derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, "events")
+    return spark.sql(_TRANSCRIPTS_FROM_EVENTS)
+
+
+def _role_dim(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        _ROLE_DIM_ROWS, "role string, role_class string, severity_number int"
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline queries (flagship)
+# ---------------------------------------------------------------------------
+
+
+def q_pipeline_errors_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: parse → enrich → route(errors) → aggregate by
+    role_class × level × 5-min window, counting turns and summing the
+    parsed duration. Exercises the Arrow parse UDF, the broadcast
+    enrich join, the route predicate and the windowed aggregation."""
+    from .pipeline import parse_stage
+
+    t = _derive_transcripts(spark, sf_dir)
+    pattern = r"\[(?P<level>\w+)\] (?P<component>\w+): (?P<msg>.*?) duration=(?P<duration_ms>\d+)ms"
+    parsed = parse_stage(t, pattern, engine="arrow")
+    enriched = parsed.join(F.broadcast(_role_dim(spark)), "role", "left")
+    routed = enriched.filter(F.col("level").isin("warn", "error"))
+    return (
+        routed.groupBy(
+            "role_class",
+            "level",
+            (F.floor(_epoch_s(F.col("ts")) / 300) * 300).alias("window_start"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.col("duration_ms").cast("long")).alias("sum_duration_ms"),
+        )
+    )
+
+
+def _oracle_pipeline_errors_agg() -> str:
+    epoch = _DUCK_EPOCH.format(col="ts")
+    return f"""
+WITH t AS ({_TRANSCRIPTS_FROM_EVENTS}),
+p AS (
+  SELECT *,
+    regexp_extract(text, '\\[(\\w+)\\] (\\w+): (.*?) duration=(\\d+)ms', 1) AS level,
+    CAST(regexp_extract(text, '\\[(\\w+)\\] (\\w+): (.*?) duration=(\\d+)ms', 4) AS BIGINT) AS duration_ms
+  FROM t
+)
+SELECT {_ROLE_CLASS_CASE} AS role_class, level,
+       CAST(floor({epoch} / 300) * 300 AS BIGINT) AS window_start,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(duration_ms) AS BIGINT) AS sum_duration_ms
+FROM p
+WHERE level IN ('warn', 'error')
+GROUP BY 1, 2, 3
+"""
+
+
+def q_pipeline_routed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routed-row equality + per-turn text equality for the errors
+    sink: the exact rows, keyed by (conv_id, turn_idx), that the route
+    stage fans out — the per-row invariant of the north star."""
+    from .pipeline import parse_stage
+
+    t = _derive_transcripts(spark, sf_dir)
+    pattern = r"\[(?P<level>\w+)\] (?P<component>\w+): (?P<msg>.*?) duration=(?P<duration_ms>\d+)ms"
+    parsed = parse_stage(t, pattern, engine="arrow")
+    return parsed.filter(F.col("level").isin("warn", "error")).select(
+        "conv_id", "turn_idx", "role", "text"
+    )
+
+
+def _oracle_pipeline_routed_rows() -> str:
+    return f"""
+WITH t AS ({_TRANSCRIPTS_FROM_EVENTS})
+SELECT conv_id, turn_idx, role, text
+FROM t
+WHERE regexp_extract(text, '\\[(\\w+)\\]', 1) IN ('warn', 'error')
+"""
+
+
+def q_route_fanout_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Include/exclude routing (filterlog semantics) fanning the
+    transcripts to 3 sinks; per-sink sent counts — the obsreport
+    exporter counters (obsreport_exporter.go:29-44)."""
+    from ..operators.filters import AttributeCondition, MatchProperties, matcher
+    from .pipeline import RouteRule, parse_stage, route_stage
+
+    t = _derive_transcripts(spark, sf_dir)
+    pattern = r"\[(?P<level>\w+)\] (?P<component>\w+): (?P<msg>.*?) duration=(?P<duration_ms>\d+)ms"
+    parsed = parse_stage(t, pattern, engine="jvm").withColumn(
+        "attrs",
+        F.map_filter(
+            F.create_map(
+                F.lit("level"), F.col("level"),
+                F.lit("role"), F.col("role"),
+                F.lit("tool"), F.col("tool"),
+            ),
+            lambda _k, v: v.isNotNull(),
+        ),
+    )
+    routes = [
+        RouteRule(
+            "errors",
+            include=matcher(
+                MatchProperties("regexp", attributes=[AttributeCondition("level", "warn|error")])
+            ),
+            exclude=matcher(
+                MatchProperties("strict", attributes=[AttributeCondition("role", "system")])
+            ),
+        ),
+        RouteRule(
+            "tool_calls",
+            include=matcher(
+                MatchProperties("strict", attributes=[AttributeCondition("tool")])
+            ),
+        ),
+        RouteRule("archive"),
+    ]
+    routed = route_stage(parsed, routes)
+    parts = [
+        df.agg(F.lit(sink).alias("sink"), F.count(F.lit(1)).alias("sent"))
+        for sink, df in routed.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _oracle_route_fanout_counts() -> str:
+    return f"""
+WITH t AS ({_TRANSCRIPTS_FROM_EVENTS}),
+p AS (SELECT *, regexp_extract(text, '\\[(\\w+)\\]', 1) AS level FROM t)
+SELECT 'errors' AS sink, CAST(count(*) AS BIGINT) AS sent FROM p
+ WHERE regexp_matches(level, 'warn|error') AND role <> 'system'
+UNION ALL
+SELECT 'tool_calls', CAST(count(*) AS BIGINT) FROM p WHERE tool IS NOT NULL
+UNION ALL
+SELECT 'archive', CAST(count(*) AS BIGINT) FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# operator-level queries on the driver tables
+# ---------------------------------------------------------------------------
+
+
+def q_parse_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTRACT named-group parse of events.props (the attributes
+    processor's EXTRACT action, attraction.go:263-283), aggregated by
+    the extracted key bucket."""
+    from ..functions.parse import extract_struct
+
+    _register(spark, sf_dir, "events")
+    events = spark.table("events")
+    parsed = events.withColumn(
+        "k", extract_struct(F.col("props"), r'"k": (?P<kval>\d+)')["kval"].cast("long")
+    )
+    return (
+        parsed.filter(F.col("k").isNotNull())
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
+    )
+
+
+def _oracle_parse_extract_props() -> str:
+    return """
+SELECT CAST(k % 10 AS BIGINT) AS k_bucket, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k
+FROM (SELECT CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k FROM events)
+WHERE k IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q_enrich_broadcast_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join enrich chain customer → nation → region (the
+    resource-processor lookup-enrich analog), aggregated per region.
+    Money sums go through DECIMAL so both engines are order-exact."""
+    _register(spark, sf_dir, "customer", "nation", "region")
+    customer = spark.table("customer")
+    nation = spark.table("nation")
+    region = spark.table("region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(20,4)")).alias("sum_acctbal"),
+        )
+    )
+
+
+def _oracle_enrich_broadcast_region() -> str:
+    return """
+SELECT r_name AS region_name, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1
+"""
+
+
+def q_filter_strict_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filterset strict membership (strictfilterset.go:37-40) over
+    orders.o_orderpriority, counting survivors per status."""
+    from ..operators.filters import filterset_predicate
+
+    _register(spark, sf_dir, "orders")
+    orders = spark.table("orders")
+    keep = filterset_predicate(
+        F.col("o_orderpriority"), ["1-URGENT", "2-HIGH"], "strict"
+    )
+    return (
+        orders.filter(keep)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,4)")).alias("sum_price"),
+        )
+    )
+
+
+def _oracle_filter_strict_priority() -> str:
+    return """
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS sum_price
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY 1
+"""
+
+
+def q_agg_window_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time 5-minute window aggregation over events (the
+    time-bucketed telemetry counting; window starts as epoch secs)."""
+    _register(spark, sf_dir, "events")
+    events = spark.table("events")
+    return (
+        events.groupBy(
+            _epoch_s(F.window("ts", "5 minutes").start).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(20,4)")).alias("sum_value"),
+        )
+    )
+
+
+def _oracle_agg_window_5min() -> str:
+    epoch = _DUCK_EPOCH.format(col="ts")
+    return f"""
+SELECT CAST(floor({epoch} / 300) * 300 AS BIGINT) AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_batch_trigger_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic batch-processor trigger metrics per event_type at
+    send_batch_size=100 (batch_processor.go:38-40, metrics.go:27-30)."""
+    from ..operators.batch import batch_trigger_metrics
+
+    _register(spark, sf_dir, "events")
+    return batch_trigger_metrics(spark.table("events"), ["event_type"], 100)
+
+
+def _oracle_batch_trigger_counts() -> str:
+    return """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS record_count,
+       CAST(floor(count(*) / 100) AS BIGINT) AS batch_size_trigger_send,
+       CAST(CASE WHEN count(*) % 100 > 0 THEN 1 ELSE 0 END AS BIGINT) AS timeout_trigger_send,
+       CAST(floor(count(*) / 100) + CASE WHEN count(*) % 100 > 0 THEN 1 ELSE 0 END AS BIGINT) AS num_batches
+FROM events
+GROUP BY 1
+"""
+
+
+def q_hash_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-action redaction over documents.text (hasher.go:41-72
+    semantics; sha256 digest here because the DuckDB oracle lacks
+    sha1 — the byte-exact sha1 path is pinned by unit tests)."""
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    return docs.filter(F.col("lang") == "en").select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("text_redacted")
+    )
+
+
+def _oracle_hash_redact() -> str:
+    return "SELECT doc_id, sha256(text) AS text_redacted FROM documents WHERE lang = 'en'"
+
+
+def q_sampler_priority_override(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sampling.priority override semantics at 0% base rate: only
+    priority>0 rows survive (probabilisticsampler.go:135-181). The
+    priority attribute is derived from events.value so the oracle can
+    reproduce the kept set exactly."""
+    from ..operators.sampler import ProbabilisticSampler
+
+    _register(spark, sf_dir, "events")
+    events = spark.table("events")
+    with_attrs = events.select(
+        "event_id",
+        F.col("event_id").cast("string").alias("conv_id"),
+        F.create_map(
+            F.lit("sampling.priority"),
+            F.when(F.col("event_type") == "error", F.lit("1"))
+            .when(F.col("event_type") == "signup", F.lit("garbage"))
+            .otherwise(F.lit("0")),
+        ).alias("attrs"),
+    )
+    sampler = ProbabilisticSampler(0.0, hash_seed=22, id_col="conv_id")
+    return sampler(with_attrs).select("event_id")
+
+
+def _oracle_sampler_priority_override() -> str:
+    # base rate 0%: deferred rows (unparseable 'garbage') hash to
+    # bucket < 0 — impossible — so only priority>0 survives.
+    return "SELECT event_id FROM events WHERE event_type = 'error'"
+
+
+def q_sampler_murmur3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based sampling at 15%/seed 22 over event ids — exact
+    murmur3 keep-set (no SQL oracle: murmur3 is not expressible in
+    DuckDB; parity is pinned by tests/test_sampler.py goldens)."""
+    from ..operators.sampler import ProbabilisticSampler
+
+    _register(spark, sf_dir, "events")
+    events = spark.table("events").select(
+        "event_id", F.col("event_id").cast("string").alias("conv_id")
+    )
+    return ProbabilisticSampler(15.0, hash_seed=22, id_col="conv_id")(events).select(
+        "event_id"
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content fingerprint (md5 of the first
+    5 whitespace tokens, lowercased): per fingerprint keep the lowest
+    doc_id, count the cluster."""
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    fp = F.md5(
+        F.concat_ws(" ", F.slice(F.split(F.lower(F.trim(F.col("text"))), " +"), 1, 5))
+    )
+    return (
+        docs.withColumn("fp", fp)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("cluster_size"))
+    )
+
+
+def _oracle_dedup_exact() -> str:
+    return """
+SELECT md5(array_to_string(list_slice(string_split_regex(lower(trim(text)), ' +'), 1, 5), ' ')) AS fp,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS cluster_size
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_token_count_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting per document, aggregated by lang —
+    the text-analysis token-count primitive."""
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), " +"))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens.cast("long")).alias("total_tokens"),
+    )
+
+
+def _oracle_token_count_by_lang() -> str:
+    return """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split_regex(trim(text), ' +'))) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (the classic agg benchmark),
+    decimal-exact."""
+    _register(spark, sf_dir, "lineitem")
+    li = spark.table("lineitem")
+    disc = F.col("l_extendedprice").cast("decimal(20,4)") * (
+        F.lit(1).cast("decimal(20,4)") - F.col("l_discount").cast("decimal(20,4)")
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(20,4)")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(20,4)")).alias("sum_base_price"),
+            F.sum(disc).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _oracle_tpch_q1() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4)) * (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4)))) AS DECIMAL(38,8)) AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pipeline_errors_agg": q_pipeline_errors_agg,
+    "pipeline_routed_rows": q_pipeline_routed_rows,
+    "route_fanout_counts": q_route_fanout_counts,
+    "parse_extract_props": q_parse_extract_props,
+    "enrich_broadcast_region": q_enrich_broadcast_region,
+    "filter_strict_priority": q_filter_strict_priority,
+    "agg_window_5min": q_agg_window_5min,
+    "batch_trigger_counts": q_batch_trigger_counts,
+    "hash_redact": q_hash_redact,
+    "sampler_priority_override": q_sampler_priority_override,
+    "sampler_murmur3": q_sampler_murmur3,
+    "dedup_exact": q_dedup_exact,
+    "token_count_by_lang": q_token_count_by_lang,
+    "tpch_q1": q_tpch_q1,
+}
+
+ORACLES: dict[str, str] = {
+    "pipeline_errors_agg": _oracle_pipeline_errors_agg(),
+    "pipeline_routed_rows": _oracle_pipeline_routed_rows(),
+    "route_fanout_counts": _oracle_route_fanout_counts(),
+    "parse_extract_props": _oracle_parse_extract_props(),
+    "enrich_broadcast_region": _oracle_enrich_broadcast_region(),
+    "filter_strict_priority": _oracle_filter_strict_priority(),
+    "agg_window_5min": _oracle_agg_window_5min(),
+    "batch_trigger_counts": _oracle_batch_trigger_counts(),
+    "hash_redact": _oracle_hash_redact(),
+    "sampler_priority_override": _oracle_sampler_priority_override(),
+    # sampler_murmur3: intentionally no oracle (murmur3 not SQL-expressible)
+    "dedup_exact": _oracle_dedup_exact(),
+    "token_count_by_lang": _oracle_token_count_by_lang(),
+    "tpch_q1": _oracle_tpch_q1(),
+}

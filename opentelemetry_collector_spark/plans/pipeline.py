@@ -150,25 +150,58 @@ def route_stage(df: DataFrame, routes: list[RouteRule]) -> dict[str, DataFrame]:
     return {r.sink: df.filter(r.predicate(df)) for r in routes}
 
 
+def aggregate_combined(df: DataFrame, window: str = "5 minutes") -> DataFrame:
+    """All four north-star aggregations — by conv_id, by role, by tool,
+    by event-time window — in ONE shuffle via GROUPING SETS.
+
+    At scale this matters: four separate groupBys are four shuffles of
+    the same input; the combined plan pays one shuffle whose volume is
+    dominated by the conv_id grouping anyway (the role/tool/window
+    groupings collapse to near-nothing in the map-side partial
+    aggregation). ``group_set`` identifies which grouping a row belongs
+    to (computed from Spark's grouping() indicator so NULL keys inside
+    a grouping — e.g. tool IS NULL — stay distinguishable)."""
+    # via TIMESTAMP: parquet scans yield TIMESTAMP_NTZ in Spark 4,
+    # which cannot cast straight to long
+    window_start = (
+        F.window("ts", window).start.cast("timestamp").cast("long").alias("window_start")
+    )
+    base = df.select("conv_id", "role", "tool", window_start)
+    gs = base.groupingSets(
+        [["conv_id"], ["role"], ["tool"], ["window_start"]],
+        "conv_id", "role", "tool", "window_start",
+    ).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.concat_ws(
+            "",
+            F.when(F.grouping("conv_id") == 0, F.lit("by_conv")).otherwise(F.lit("")),
+            F.when(F.grouping("role") == 0, F.lit("by_role")).otherwise(F.lit("")),
+            F.when(F.grouping("tool") == 0, F.lit("by_tool")).otherwise(F.lit("")),
+            F.when(F.grouping("window_start") == 0, F.lit("by_window")).otherwise(F.lit("")),
+        ).alias("group_set"),
+    )
+    return gs.select("group_set", "conv_id", "role", "tool", "window_start", "n_turns")
+
+
 def aggregate_stage(df: DataFrame, window: str = "5 minutes") -> dict[str, DataFrame]:
-    """Per-sink aggregate counts (the north-star quartet): by conv_id,
-    by role, by tool, and by event-time window. Window starts are
-    emitted as epoch seconds so goldens are timezone-proof."""
-    by_conv = df.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
-    by_role = df.groupBy("role").agg(F.count(F.lit(1)).alias("n_turns"))
-    by_tool = df.filter(F.col("tool").isNotNull()).groupBy("tool").agg(
-        F.count(F.lit(1)).alias("n_turns")
-    )
-    by_window = (
-        df.groupBy(F.window("ts", window).alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_turns"))
-        .select(F.col("w.start").cast("long").alias("window_start"), "n_turns")
-    )
+    """The four aggregations as separate frames (views over the single
+    grouping-sets aggregation). Window starts are epoch seconds so
+    goldens are timezone-proof; by_tool keeps the reference's
+    non-null-attribute semantics."""
+    combined = aggregate_combined(df, window)
     return {
-        "by_conv": by_conv,
-        "by_role": by_role,
-        "by_tool": by_tool,
-        "by_window": by_window,
+        "by_conv": combined.filter(F.col("group_set") == "by_conv").select(
+            "conv_id", "n_turns"
+        ),
+        "by_role": combined.filter(F.col("group_set") == "by_role").select(
+            "role", "n_turns"
+        ),
+        "by_tool": combined.filter(
+            (F.col("group_set") == "by_tool") & F.col("tool").isNotNull()
+        ).select("tool", "n_turns"),
+        "by_window": combined.filter(F.col("group_set") == "by_window").select(
+            "window_start", "n_turns"
+        ),
     }
 
 
@@ -183,6 +216,12 @@ class PipelineConfig:
     window: str = "5 minutes"
     redact_sensitive: bool = False
     salt_threshold: int | None = None  # turns per conv above which to salt
+    # Persist the enriched frame before the sink fan-out — the analog of
+    # the reference sharing ONE receiver instance across its pipelines
+    # (docs/design.md:68): without it every sink/aggregate re-runs the
+    # parse+enrich DAG (the Arrow parse UDF would execute N_sinks+N_aggs
+    # times over the full input).
+    persist: bool = True
 
 
 def repartition_for_skew(
@@ -222,8 +261,13 @@ def run_pipeline(
     enriched = enrich_stage(
         parsed, role_lookup, tool_lookup, redact_sensitive=config.redact_sensitive
     )
+    if config.persist:
+        enriched = enriched.persist()
     routed = route_stage(enriched, config.routes)
     aggregates = {sink: aggregate_stage(df, config.window) for sink, df in routed.items()}
+    aggregates_combined = {
+        sink: aggregate_combined(df, config.window) for sink, df in routed.items()
+    }
 
     # obsreport parity: receiver accepted / per-sink sent counters
     # (obsreport_receiver.go:30-51, obsreport_exporter.go:29-44).
@@ -250,5 +294,6 @@ def run_pipeline(
         "enriched": enriched,
         "routed": routed,
         "aggregates": aggregates,
+        "aggregates_combined": aggregates_combined,
         "metrics": metrics,
     }
