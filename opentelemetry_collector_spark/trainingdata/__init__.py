@@ -1,0 +1,46 @@
+"""Training-data pipeline operations over the documents / embeddings
+tables: deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine), similarity search (brute-force + LSH-bucketed ANN),
+text analysis (language-ID, quality scoring, token counting,
+fingerprinting), and multimodal binary-column plumbing.
+
+These are first-class components of the engine (not demos): every
+operator is a declarative DataFrame transformation designed for the
+100 TB case — shuffle-free signature computation, banded-LSH joins
+instead of O(n^2) cross joins, broadcast query vectors.
+"""
+
+from .text import (
+    rolling_hash,
+    tokens_col,
+    token_count,
+    bpe_ish_token_count,
+    quality_metrics,
+    quality_score,
+    lang_id_scores,
+    lang_id,
+    doc_fingerprint,
+)
+from .dedup import (
+    exact_dedup_clusters,
+    minhash_signature,
+    lsh_band_keys,
+    minhash_lsh_pairs,
+    simhash,
+    hamming_distance,
+    ngram_jaccard_pairs,
+    embedding_near_dup_pairs,
+)
+from .similarity import (
+    cosine_similarity,
+    brute_force_topk,
+    hyperplane_signature,
+    ann_lsh_topk,
+)
+from .multimodal import (
+    MEDIA_SCHEMA,
+    synthesize_media,
+    extract_features,
+    decode_media,
+    frame_sample,
+)

@@ -1,0 +1,268 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Scale design (100 TB / billions of docs):
+  * signatures (MinHash / SimHash / hyperplane bits) are computed
+    shuffle-free in one projection over the scan;
+  * candidate generation is a banded-LSH equi-join — the ONLY shuffle,
+    keyed on (band_idx, band_key), never an O(n^2) cross join;
+  * exact verification (Jaccard / cosine) runs only on bucket
+    collisions, so the expensive set/vector math touches a tiny
+    fraction of pairs;
+  * all hashing is deterministic from fixed seeds, so re-runs and
+    incremental appends produce identical clusters.
+
+Hashing uses the arithmetic rolling hash from ``text.py`` (see its
+docstring: swap for xxhash64 at production scale; kept arithmetic for
+bit-identical DuckDB oracle parity).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import HASH_MOD, rolling_hash, tokens_col
+
+# ---------------------------------------------------------------------------
+# deterministic hash-family / hyperplane constants (shared with oracles)
+# ---------------------------------------------------------------------------
+
+MINHASH_K = 3          # shingle width (tokens)
+MINHASH_H = 16         # signature length
+MINHASH_BANDS = 4      # 4 bands x 4 rows → s-curve threshold ~0.71
+MINHASH_ROWS = MINHASH_H // MINHASH_BANDS
+
+_rng = np.random.default_rng(161803)  # reference's golden seed (correctness_test.go:62)
+MINHASH_A: list[int] = [int(x) for x in _rng.integers(1, HASH_MOD, MINHASH_H)]
+MINHASH_B: list[int] = [int(x) for x in _rng.integers(0, HASH_MOD, MINHASH_H)]
+
+SIMHASH_BITS = 32
+
+N_HYPERPLANES = 8      # 8 sign bits → 256 ANN buckets
+EMBED_DIM = 64
+HYPERPLANES: list[list[float]] = [
+    [round(float(v), 6) for v in row]
+    for row in np.random.default_rng(271828).standard_normal((N_HYPERPLANES, EMBED_DIM))
+]
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_clusters(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by md5 of normalized text: one hash-groupBy; per
+    cluster keep the lowest id. The survivor set is
+    ``clusters.join(df, keep == id)`` — no second scan of text."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return (
+        df.withColumn("fp", F.md5(normalized))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def shingles_col(col: Column, k: int = MINHASH_K) -> Column:
+    """Distinct k-token shingles; documents shorter than k tokens fall
+    back to one whole-text shingle so they still get a signature."""
+    toks = tokens_col(col)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return F.array_distinct(
+        F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def minhash_signature(col: Column, k: int = MINHASH_K, h: int = MINHASH_H) -> Column:
+    """MinHash signature: array of h minima of universal hashes
+    ``(a_j * base + b_j) % MOD`` over the shingle-hash set. Entirely
+    codegen — one pass over the shingles per row, no shuffle."""
+    bases = F.transform(shingles_col(col, k), lambda s: rolling_hash(s))
+
+    def universal(j: int):
+        def f(x):
+            return (F.lit(MINHASH_A[j]) * x + F.lit(MINHASH_B[j])) % HASH_MOD
+
+        return f
+
+    return F.array(
+        *[F.array_min(F.transform(bases, universal(j))) for j in range(h)]
+    )
+
+
+def lsh_band_keys(sig: Column, bands: int = MINHASH_BANDS, rows: int = MINHASH_ROWS) -> Column:
+    """Split the signature into ``bands`` bands of ``rows`` values;
+    band key = joined string of the band's values."""
+    return F.array(
+        *[
+            F.concat_ws("-", *[F.element_at(sig, b * rows + r + 1).cast("string") for r in range(rows)])
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket
+    (id_a < id_b). With ``jaccard_threshold`` set, candidates are
+    verified with exact shingle-set Jaccard (computed only for bucket
+    collisions). The band join is the only shuffle."""
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        shingles_col(F.col(text_col)).alias("sh"),
+        lsh_band_keys(minhash_signature(F.col(text_col))).alias("bands"),
+    )
+    exploded = sigs.select(
+        "id", "sh", F.posexplode("bands").alias("band_idx", "band_key")
+    )
+    left = exploded.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band_idx", "band_key"
+    )
+    right = exploded.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band_idx", "band_key"
+    )
+    pairs = (
+        left.join(right, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    )
+    pairs = pairs.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    if jaccard_threshold is not None:
+        pairs = pairs.filter(F.col("jaccard") >= jaccard_threshold)
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Frequency-weighted SimHash over token rolling-hashes: bit b is 1
+    iff sum over tokens of (+1 if hash bit b set else -1) is > 0.
+    One token-hash array per row, ``bits`` codegen aggregates over it."""
+    th = F.transform(tokens_col(col), lambda t: rolling_hash(t))
+
+    def bit_vote(b: int):
+        def f(acc, x):
+            return acc + (F.shiftright(x, b).bitwiseAND(F.lit(1)) * 2 - 1)
+
+        return f
+
+    value = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(th, F.lit(0).cast("long"), bit_vote(b))
+        value = value + F.when(vote > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0))
+    return value
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Hamming distance between two SimHash values."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+) -> DataFrame:
+    """Exact n-gram-Jaccard pairs above a threshold. Candidates are
+    blocked by ``block_col`` (e.g. source) when given — at scale use
+    ``minhash_lsh_pairs(jaccard_threshold=...)`` instead; the
+    all-pairs path here exists for verification on small blocks."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+        shingles_col(F.col(text_col), k).alias("sh"),
+    )
+    a = sh.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+        *( [F.col("blk")] if block_col else [] ),
+    )
+    b = sh.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+        *( [F.col("blk")] if block_col else [] ),
+    )
+    joined = a.join(b, "blk") if block_col else a.crossJoin(b)
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    )
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    use_lsh: bool = True,
+) -> DataFrame:
+    """Embedding near-duplicates: pairs with cosine ≥ threshold.
+    use_lsh: candidates = same random-hyperplane sign bucket (the
+    scale path — bucket equi-join, cosine only on collisions);
+    otherwise all pairs (verification path)."""
+    from .similarity import hyperplane_signature
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        F.sqrt(_dot(v, v)).alias("norm"),
+        *( [hyperplane_signature(v).alias("bucket")] if use_lsh else [] ),
+    )
+    a = base.select(*[F.col(c).alias(c + "_a") for c in base.columns])
+    b = base.select(*[F.col(c).alias(c + "_b") for c in base.columns])
+    if use_lsh:
+        joined = a.join(b, F.col("bucket_a") == F.col("bucket_b"))
+    else:
+        joined = a.crossJoin(b)
+    cos = F.round(_dot(F.col("v_a"), F.col("v_b")) / (F.col("norm_a") * F.col("norm_b")), 6)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,134 @@
+"""Text-analysis primitives: tokenization, token counting, quality
+scoring, language identification, document fingerprinting.
+
+Everything here is pure JVM-side expression (whole-stage codegen; no
+Python in the hot path). The arithmetic rolling hash exists so results
+are reproducible in ANY engine from the SQL definition alone — at
+100 TB you would swap `rolling_hash` for `F.xxhash64` (one JVM hash vs
+a per-char aggregate) without changing any downstream operator; the
+oracle-parity hash is kept because the driver's DuckDB cross-check
+needs a bit-identical definition on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# shared arithmetic-hash constants (same literals in the SQL oracles)
+HASH_BASE = 131
+HASH_MOD = 1_000_000_007
+
+# ~20 most frequent function words per language — enough for a
+# deterministic n-gram/stopword-vote heuristic; ties break by the
+# fixed language order below (lexicographic).
+STOPWORDS = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit",
+           "von", "auf", "zu", "den", "dem", "sich", "im", "aber", "auch"],
+    "en": ["the", "a", "an", "and", "or", "is", "are", "was", "of", "to",
+           "in", "on", "for", "with", "it", "this", "that", "as"],
+    "es": ["el", "la", "los", "las", "y", "es", "no", "un", "una", "con",
+           "de", "en", "por", "para", "que", "se", "del", "como"],
+    "fr": ["le", "la", "les", "et", "est", "ne", "pas", "un", "une", "avec",
+           "de", "dans", "pour", "que", "qui", "au", "sur", "ce"],
+}
+LANG_ORDER = sorted(STOPWORDS)  # de, en, es, fr — deterministic tie-break
+
+# BPE-ish pre-tokenizer: word pieces, numbers, or single punctuation —
+# the GPT-2-style pretokenization regex shape, simplified to the
+# Java/RE2-common subset so Spark and DuckDB agree.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def rolling_hash(col: Column, base: int = HASH_BASE, mod: int = HASH_MOD) -> Column:
+    """Polynomial rolling hash over the string's code points:
+    ``h = (h*base + code) % mod`` — the Rabin–Karp fingerprint
+    primitive, evaluated entirely in codegen via ``F.aggregate``."""
+    codes = F.transform(F.split(col, ""), lambda c: F.ascii(c).cast("long"))
+    return F.aggregate(
+        codes, F.lit(0).cast("long"), lambda acc, x: (acc * base + x) % mod
+    )
+
+
+def tokens_col(col: Column) -> Column:
+    """Lowercased whitespace tokens (empty-string-safe)."""
+    return F.split(F.lower(F.trim(col)), r" +")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens_col(col)).cast("long")
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Token count under the BPE-ish pre-tokenizer regex — counts
+    word/number/punctuation pieces the way a BPE tokenizer's
+    pre-split would, without a vocab."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0)).cast("long")
+
+
+def quality_metrics(col: Column) -> dict[str, Column]:
+    """The standard cheap quality signals: length, token stats,
+    punctuation ratio, stopword ratio, alpha ratio."""
+    toks = tokens_col(col)
+    n_chars = F.length(col).cast("long")
+    n_toks = F.size(toks).cast("long")
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    punct = F.length(F.regexp_replace(col, r"[^.,!?;:]", "")).cast("double")
+    alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", "")).cast("double")
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_toks,
+        "mean_token_len": (n_chars.cast("double") / n_toks.cast("double")),
+        "punct_ratio": punct / n_chars.cast("double"),
+        "alpha_ratio": alpha / n_chars.cast("double"),
+        "stopword_ratio": (
+            F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t))).cast("double")
+            / n_toks.cast("double")
+        ),
+    }
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1]-ish quality score: rewards mid-length docs with
+    healthy stopword density and penalizes punctuation walls. Weights
+    are fixed constants (shared with the SQL oracle); rounded to 6dp
+    so cross-engine float comparison is stable."""
+    m = quality_metrics(col)
+    length_term = F.least(m["n_tokens"].cast("double") / F.lit(64.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * length_term
+        + F.lit(0.4) * F.least(m["stopword_ratio"] * 4.0, F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(m["punct_ratio"] * 10.0, F.lit(1.0)))
+    )
+    return F.round(score, 6)
+
+
+def lang_id_scores(col: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts (distinct-token votes)."""
+    toks = F.array_distinct(tokens_col(col))
+    out = {}
+    for lang in LANG_ORDER:
+        stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        out[lang] = F.size(F.array_intersect(toks, stop)).cast("long")
+    return out
+
+
+def lang_id(col: Column) -> Column:
+    """Predicted language = argmax stopword votes, 'und' (undetermined)
+    when no language scores a single hit; ties break by LANG_ORDER."""
+    scores = lang_id_scores(col)
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # build CASE in reverse order so earlier langs win ties
+    for lang in reversed(LANG_ORDER):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    return F.when(best > 0, pred).otherwise(F.lit("und"))
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Document fingerprint = rolling hash of the normalized
+    (lowercased, whitespace-collapsed) text — the exact-dedup and
+    shingle-hash primitive."""
+    normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return rolling_hash(normalized)

@@ -1,0 +1,278 @@
+"""Training-data ops: dedup (exact/MinHash-LSH/SimHash/Jaccard/
+embedding), similarity search, text analysis, multimodal plumbing.
+Goldens are computed with independent pure-Python implementations."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.trainingdata import (
+    ann_lsh_topk,
+    brute_force_topk,
+    doc_fingerprint,
+    embedding_near_dup_pairs,
+    exact_dedup_clusters,
+    extract_features,
+    frame_sample,
+    hamming_distance,
+    lang_id,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    quality_score,
+    rolling_hash,
+    simhash,
+    synthesize_media,
+    token_count,
+    bpe_ish_token_count,
+)
+from opentelemetry_collector_spark.trainingdata import decode_media
+from opentelemetry_collector_spark.trainingdata.dedup import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_H,
+    MINHASH_K,
+)
+from opentelemetry_collector_spark.trainingdata.text import HASH_BASE, HASH_MOD
+
+
+def py_rolling(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (h * HASH_BASE + ord(ch)) % HASH_MOD
+    return h
+
+
+def py_shingles(text: str, k: int = MINHASH_K) -> list[str]:
+    toks = text.strip().lower().split()
+    toks = [t for t in toks if t]
+    if len(toks) >= k:
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    else:
+        grams = [" ".join(toks)]
+    seen, out = set(), []
+    for g in grams:
+        if g not in seen:
+            seen.add(g)
+            out.append(g)
+    return out
+
+
+def py_minhash(text: str) -> list[int]:
+    bases = [py_rolling(s) for s in py_shingles(text)]
+    return [
+        min((MINHASH_A[j] * b + MINHASH_B[j]) % HASH_MOD for b in bases)
+        for j in range(MINHASH_H)
+    ]
+
+
+def py_simhash(text: str, bits: int = 32) -> int:
+    toks = text.strip().lower().split()
+    hashes = [py_rolling(t) for t in toks]
+    value = 0
+    for b in range(bits):
+        vote = sum(1 if (h >> b) & 1 else -1 for h in hashes)
+        if vote > 0:
+            value |= 1 << b
+    return value
+
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog", "src0"),
+    (1, "the quick brown fox jumps over the lazy cat", "src0"),  # near-dup of 0
+    (2, "the quick brown fox jumps over the lazy dog", "src0"),  # exact dup of 0
+    (3, "completely different content about spark engines", "src1"),
+    (4, "der hund und die katze sind nicht im haus", "src1"),
+    (5, "ab", "src1"),  # shorter than k tokens
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, source string").cache()
+
+
+class TestTextAnalysis:
+    def test_rolling_hash_matches_python(self, spark):
+        df = spark.createDataFrame([("abc",), ("the quick",), ("",)], "s string")
+        got = [r[0] for r in df.select(rolling_hash(F.col("s"))).collect()]
+        assert got == [py_rolling("abc"), py_rolling("the quick"), 0]
+
+    def test_token_counts(self, docs):
+        row = (
+            docs.filter(F.col("doc_id") == 0)
+            .select(
+                token_count(F.col("text")).alias("ws"),
+                bpe_ish_token_count(F.col("text")).alias("bpe"),
+            )
+            .first()
+        )
+        assert row["ws"] == 9
+        assert row["bpe"] == 9  # pure words, no punctuation
+
+    def test_bpe_ish_counts_punct(self, spark):
+        df = spark.createDataFrame([("hello, world! x2",)], "s string")
+        # pieces: hello , world ! x 2
+        assert df.select(bpe_ish_token_count(F.col("s"))).first()[0] == 6
+
+    def test_lang_id(self, docs):
+        rows = dict(
+            docs.select("doc_id", lang_id(F.col("text")).alias("lang")).collect()
+        )
+        assert rows[0] == "en"
+        assert rows[4] == "de"
+        assert rows[5] == "und"
+
+    def test_quality_score_bounds(self, docs):
+        scores = [r[0] for r in docs.select(quality_score(F.col("text"))).collect()]
+        assert all(0.0 <= s <= 1.0 for s in scores)
+
+    def test_fingerprint_normalizes_whitespace(self, spark):
+        df = spark.createDataFrame(
+            [("a  b\tc",), ("A b C",)], "s string"
+        )
+        got = [r[0] for r in df.select(doc_fingerprint(F.col("s"))).collect()]
+        assert got[0] == got[1] == py_rolling("a b c")
+
+
+class TestExactDedup:
+    def test_clusters(self, docs):
+        rows = exact_dedup_clusters(docs).collect()
+        by_keep = {r["keep_id"]: r["cluster_size"] for r in rows}
+        assert by_keep[0] == 2  # docs 0 and 2
+        assert by_keep[1] == 1
+        assert len(rows) == 5
+
+
+class TestMinHash:
+    def test_signature_matches_python(self, docs):
+        rows = docs.select(
+            "doc_id", minhash_signature(F.col("text")).alias("sig")
+        ).collect()
+        for r in rows:
+            expect = py_minhash(DOCS[r["doc_id"]][1])
+            assert list(r["sig"]) == expect, f"doc {r['doc_id']}"
+
+    def test_lsh_finds_near_dups(self, docs):
+        pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in minhash_lsh_pairs(docs).collect()
+        }
+        assert (0, 2) in pairs and pairs[(0, 2)] == 1.0  # exact dup always collides
+        # near-dup 0~1 shares most shingles; jaccard = |∩|/|∪| = 6/8
+        if (0, 1) in pairs:
+            assert pairs[(0, 1)] == 0.75
+        # unrelated docs must not appear
+        assert (0, 3) not in pairs
+
+    def test_threshold_filters(self, docs):
+        pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.9).collect()
+        assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 2)}
+
+
+class TestSimHash:
+    def test_matches_python(self, docs):
+        rows = docs.select("doc_id", simhash(F.col("text")).alias("sh")).collect()
+        for r in rows:
+            assert r["sh"] == py_simhash(DOCS[r["doc_id"]][1]), f"doc {r['doc_id']}"
+
+    def test_hamming(self, spark, docs):
+        sigs = docs.select("doc_id", simhash(F.col("text")).alias("sh"))
+        a = sigs.filter(F.col("doc_id") == 0).select(F.col("sh").alias("sa"))
+        b = sigs.filter(F.col("doc_id").isin(1, 2, 3)).select("doc_id", F.col("sh").alias("sb"))
+        dists = dict(
+            a.crossJoin(b)
+            .select("doc_id", hamming_distance(F.col("sa"), F.col("sb")).alias("d"))
+            .collect()
+        )
+        assert dists[2] == 0  # exact dup
+        assert dists[1] < dists[3]  # near-dup closer than unrelated
+
+
+class TestNgramJaccard:
+    def test_blocked_pairs(self, docs):
+        pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, block_col="source", threshold=0.5).collect()
+        }
+        assert pairs == {(0, 2): 1.0, (0, 1): 0.75, (1, 2): 0.75}
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(8)
+    rows = []
+    for i in range(20):
+        if i < 3:  # cluster of near-dups of base
+            v = base + rng.standard_normal(8) * 0.01
+        else:
+            v = rng.standard_normal(8)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+class TestEmbeddingOps:
+    def test_near_dup_pairs_all(self, vectors):
+        pairs = embedding_near_dup_pairs(vectors, threshold=0.99, use_lsh=False).collect()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert got == {(0, 1), (0, 2), (1, 2)}
+
+    def test_lsh_recall_on_identical_bucket(self, vectors):
+        # near-identical vectors land in the same hyperplane bucket
+        pairs = embedding_near_dup_pairs(vectors, threshold=0.99, use_lsh=True).collect()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert got == {(0, 1), (0, 2), (1, 2)}
+
+    def test_brute_force_topk(self, vectors):
+        first = vectors.filter(F.col("vec_id") == 0).first()
+        q = [float(x) for x in first["embedding"]]
+        rows = brute_force_topk(vectors, q, k=4).collect()
+        assert rows[0]["vec_id"] == 0 and rows[0]["cosine"] == 1.0
+        assert {r["vec_id"] for r in rows[:3]} == {0, 1, 2}
+        # descending order
+        sims = [r["cosine"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+
+    def test_ann_agrees_with_brute_force_on_top1(self, vectors):
+        first = vectors.filter(F.col("vec_id") == 0).first()
+        q = [float(x) for x in first["embedding"]]
+        ann = ann_lsh_topk(vectors, q, k=3).collect()
+        assert ann[0]["vec_id"] == 0
+        assert {r["vec_id"] for r in ann} <= {0, 1, 2}
+
+
+class TestMultimodal:
+    def test_media_schema_and_features(self, docs):
+        media = synthesize_media(docs)
+        assert [f.name for f in media.schema.fields] == [
+            "media_id", "kind", "payload", "meta",
+        ]
+        feats = extract_features(media).collect()
+        by_id = {r["media_id"]: r for r in feats}
+        # independent golden for doc 5 payload b"ab"
+        assert by_id[5]["n_bytes"] == 2
+        hist = np.bincount(np.frombuffer(b"ab", dtype=np.uint8) % 16, minlength=16)
+        hist = (hist / hist.sum()).round(6)
+        assert list(by_id[5]["features"]) == list(hist)
+        # L1 normalized (entries rounded to 6dp, so allow rounding slack)
+        for r in feats:
+            assert abs(sum(r["features"]) - 1.0) < 1e-4
+
+    def test_decode_stub_raises(self, docs):
+        with pytest.raises(NotImplementedError):
+            decode_media(synthesize_media(docs))
+
+    def test_decode_fake(self, docs):
+        media = synthesize_media(docs)
+        out = decode_media(media, codec="fake").collect()
+        row = next(r for r in out if r["media_id"] == 5)
+        assert row["pixels"][0] == round(ord("a") / 255.0, 6)
+
+    def test_frame_sample(self, docs):
+        media = synthesize_media(docs)
+        frames = frame_sample(media, every_n=2).collect()
+        assert frames, "some docs must be videos"
+        for r in frames:
+            assert r["frame_idx"] % 2 == 0
+            assert r["frame_bytes"] >= 1
