@@ -29,6 +29,10 @@ BENCH_QUERIES = [
     "sampler_murmur3",
     "dedup_exact",
     "tpch_q1",
+    "td_minhash_lsh_pairs",
+    "td_simhash",
+    "td_cosine_topk",
+    "td_media_features",
 ]
 
 

@@ -513,6 +513,8 @@ GROUP BY 1, 2
 # registry
 # ---------------------------------------------------------------------------
 
+from .trainingdata_queries import TD_ORACLES, TD_QUERIES  # noqa: E402
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_errors_agg": q_pipeline_errors_agg,
     "pipeline_routed_rows": q_pipeline_routed_rows,
@@ -528,6 +530,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "token_count_by_lang": q_token_count_by_lang,
     "tpch_q1": q_tpch_q1,
+    **TD_QUERIES,
 }
 
 ORACLES: dict[str, str] = {
@@ -545,4 +548,5 @@ ORACLES: dict[str, str] = {
     "dedup_exact": _oracle_dedup_exact(),
     "token_count_by_lang": _oracle_token_count_by_lang(),
     "tpch_q1": _oracle_tpch_q1(),
+    **TD_ORACLES,
 }

@@ -1,0 +1,421 @@
+"""Driver-contract queries for the training-data operator family.
+
+Every Spark query runs the REAL operators from
+``opentelemetry_collector_spark.trainingdata``; each oracle is
+generated DuckDB SQL computing the same result from the same parquet
+tables. Cross-engine determinism rests on:
+
+  * the arithmetic rolling hash (identical integer ops both sides);
+  * fixed literal MinHash coefficients / hyperplanes baked into the
+    generated SQL from the same Python constants;
+  * sequential (list_reduce / F.aggregate) float summation so doubles
+    are bit-identical before rounding;
+  * integer projections where float ties would be fragile (media
+    histogram).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import read_table
+from ..trainingdata import (
+    ann_lsh_topk,
+    brute_force_topk,
+    doc_fingerprint,
+    embedding_near_dup_pairs,
+    extract_features,
+    lang_id,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    quality_score,
+    simhash,
+    synthesize_media,
+)
+from ..trainingdata.dedup import (
+    HYPERPLANES,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_BANDS,
+    MINHASH_H,
+    MINHASH_K,
+    MINHASH_ROWS,
+    SIMHASH_BITS,
+)
+from ..trainingdata.text import HASH_BASE, HASH_MOD, STOPWORDS, LANG_ORDER
+
+
+def _register(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for name in names:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# ---------------------------------------------------------------------------
+# generated-SQL building blocks (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+def _sql_rolling(expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(a, b) -> (a * {HASH_BASE} + b) % {HASH_MOD})"
+    )
+
+
+_SQL_TOKS = "string_split_regex(lower(trim(text)), ' +')"
+
+_SQL_SHINGLES = f"""
+list_distinct(CASE WHEN len({_SQL_TOKS}) >= {MINHASH_K}
+  THEN list_transform(generate_series(1, len({_SQL_TOKS}) - {MINHASH_K - 1}),
+                      i -> array_to_string(list_slice({_SQL_TOKS}, i, i + {MINHASH_K - 1}), ' '))
+  ELSE [array_to_string({_SQL_TOKS}, ' ')] END)
+"""
+
+
+def _sql_list(vals) -> str:
+    return "[" + ", ".join(str(v) for v in vals) + "]"
+
+
+def _sql_minhash_sig() -> str:
+    a, b = _sql_list(MINHASH_A), _sql_list(MINHASH_B)
+    return (
+        f"list_transform(generate_series(0, {MINHASH_H - 1}), "
+        f"j -> list_min(list_transform(bases, h -> (({a})[j+1] * h + ({b})[j+1]) % {HASH_MOD})))"
+    )
+
+
+def _sql_seq_sum(products: str) -> str:
+    """Sequential double sum (same order as F.aggregate)."""
+    return f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {products}), (a, b) -> a + b)"
+
+
+def _sql_dot(u: str, v: str, dim_expr: str) -> str:
+    return _sql_seq_sum(
+        f"list_transform(generate_series(1, {dim_expr}), i -> CAST(({u})[i] AS DOUBLE) * CAST(({v})[i] AS DOUBLE))"
+    )
+
+
+def _sql_hyperplane_bucket(vec: str) -> str:
+    terms = []
+    for p, plane in enumerate(HYPERPLANES):
+        plane_sql = "[" + ", ".join(f"CAST({w} AS DOUBLE)" for w in plane) + "]"
+        dot = _sql_dot(vec, plane_sql, f"len({vec})")
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {2 ** p} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup pairs
+# ---------------------------------------------------------------------------
+
+def q_td_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(spark.table("documents")).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def _oracle_td_minhash_lsh_pairs() -> str:
+    band_keys = (
+        f"list_transform(generate_series(0, {MINHASH_BANDS - 1}), "
+        f"b -> array_to_string(list_transform("
+        f"list_slice(sig, b * {MINHASH_ROWS} + 1, b * {MINHASH_ROWS} + {MINHASH_ROWS}), "
+        f"x -> CAST(x AS VARCHAR)), '-'))"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents
+), hashed AS (
+  SELECT doc_id, sh, list_transform(sh, s -> {_sql_rolling('s')}) AS bases FROM base
+), sigs AS (
+  SELECT doc_id, sh, {_sql_minhash_sig()} AS sig FROM hashed
+), banded AS (
+  SELECT doc_id, sh, {band_keys} AS bands FROM sigs
+), exploded AS (
+  SELECT doc_id, sh, u.b AS band_idx, bands[u.b + 1] AS band_key
+  FROM banded CROSS JOIN (SELECT unnest(generate_series(0, {MINHASH_BANDS - 1})) AS b) u
+), pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, l.sh AS sh_a, r.sh AS sh_b
+  FROM exploded l JOIN exploded r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b,
+       round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+             / CAST(len(list_distinct(sh_a || sh_b)) AS DOUBLE), 6) AS jaccard
+FROM pairs
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def q_td_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, "documents")
+    return spark.table("documents").select(
+        "doc_id", simhash(F.col("text")).alias("simhash")
+    )
+
+
+def _oracle_td_simhash() -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(th, h -> ((h >> {b}) & 1) * 2 - 1)) > 0 "
+        f"THEN CAST({2 ** b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH th_t AS (
+  SELECT doc_id, list_transform({_SQL_TOKS}, t -> {_sql_rolling('t')}) AS th
+  FROM documents
+)
+SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM th_t
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (blocked by source)
+# ---------------------------------------------------------------------------
+
+def q_td_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        spark.table("documents"), block_col="source", threshold=0.5
+    )
+
+
+def _oracle_td_ngram_jaccard() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, {_SQL_SHINGLES} AS sh FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6) AS jaccard
+FROM base a JOIN base b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup + similarity search
+# ---------------------------------------------------------------------------
+
+def q_td_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        spark.table("embeddings"), threshold=0.3, use_lsh=True
+    )
+
+
+def _oracle_td_embed_near_dup() -> str:
+    dot_ab = _sql_dot("a.v", "b.v", "len(a.v)")
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding AS v,
+         sqrt({_sql_dot('embedding', 'embedding', 'len(embedding)')}) AS nrm,
+         {_sql_hyperplane_bucket('embedding')} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({dot_ab} / (a.nrm * b.nrm), 6) AS cosine
+FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({dot_ab} / (a.nrm * b.nrm), 6) >= 0.3
+"""
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        read_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def q_td_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    return brute_force_topk(spark.table("embeddings"), q, k=10)
+
+
+def _oracle_td_cosine_topk() -> str:
+    cos = (
+        f"round({_sql_dot('e.embedding', 'q.v', 'len(e.embedding)')} / "
+        f"(sqrt({_sql_dot('e.embedding', 'e.embedding', 'len(e.embedding)')}) * "
+        f"sqrt({_sql_dot('q.v', 'q.v', 'len(q.v)')})), 6)"
+    )
+    return f"""
+WITH q AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, {cos} AS cosine
+FROM embeddings e CROSS JOIN q
+ORDER BY cosine DESC, e.vec_id
+LIMIT 10
+"""
+
+
+def q_td_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    return ann_lsh_topk(spark.table("embeddings"), q, k=10, hamming_radius=1)
+
+
+def _oracle_td_ann_topk() -> str:
+    cos = (
+        f"round({_sql_dot('e.embedding', 'q.v', 'len(e.embedding)')} / "
+        f"(sqrt({_sql_dot('e.embedding', 'e.embedding', 'len(e.embedding)')}) * "
+        f"sqrt({_sql_dot('q.v', 'q.v', 'len(q.v)')})), 6)"
+    )
+    return f"""
+WITH q AS (
+  SELECT embedding AS v, {_sql_hyperplane_bucket('embedding')} AS qb
+  FROM embeddings WHERE vec_id = 0
+), cand AS (
+  SELECT e.vec_id, e.embedding, q.v, q.qb,
+         {_sql_hyperplane_bucket('e.embedding')} AS eb
+  FROM embeddings e CROSS JOIN q
+)
+SELECT e.vec_id, {cos} AS cosine
+FROM cand e CROSS JOIN q
+WHERE bit_count(xor(e.eb, e.qb)) <= 1
+ORDER BY cosine DESC, e.vec_id
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# language-ID + quality
+# ---------------------------------------------------------------------------
+
+def q_td_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, "documents")
+    return spark.table("documents").select(
+        "doc_id",
+        lang_id(F.col("text")).alias("pred_lang"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def _oracle_td_lang_quality() -> str:
+    score_exprs = {
+        lang: (
+            f"len(list_intersect(list_distinct({_SQL_TOKS}), "
+            + "["
+            + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+            + "]))"
+        )
+        for lang in LANG_ORDER
+    }
+    greatest = "greatest(" + ", ".join(score_exprs[lang] for lang in LANG_ORDER) + ")"
+    case = "CASE"
+    for lang in LANG_ORDER:
+        case += f" WHEN {score_exprs[lang]} = {greatest} THEN '{lang}'"
+    case += " END"
+    pred = f"CASE WHEN {greatest} > 0 THEN ({case}) ELSE 'und' END"
+    en_stop = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+    n_toks = f"CAST(len({_SQL_TOKS}) AS DOUBLE)"
+    stop_ratio = (
+        f"CAST(len(list_filter({_SQL_TOKS}, t -> list_contains({en_stop}, t))) AS DOUBLE) / {n_toks}"
+    )
+    punct_ratio = (
+        "CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) "
+        "/ CAST(length(text) AS DOUBLE)"
+    )
+    score = (
+        f"round(0.4 * least({n_toks} / 64.0, 1.0) "
+        f"+ 0.4 * least(({stop_ratio}) * 4.0, 1.0) "
+        f"+ 0.2 * (1.0 - least(({punct_ratio}) * 10.0, 1.0)), 6)"
+    )
+    return f"SELECT doc_id, {pred} AS pred_lang, {score} AS quality FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# fingerprint
+# ---------------------------------------------------------------------------
+
+def q_td_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, "documents")
+    return spark.table("documents").select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+def _oracle_td_fingerprint() -> str:
+    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    return f"SELECT doc_id, {_sql_rolling(norm)} AS fingerprint FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# multimodal (integer projection of the byte-histogram features)
+# ---------------------------------------------------------------------------
+
+def q_td_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media plumbing end-to-end: synthesize binary payloads from the
+    documents table, run the Arrow mapInPandas feature extractor, and
+    project integer-exact columns (top histogram bin + its count) for
+    the cross-engine check."""
+    _register(spark, sf_dir, "documents")
+    media = synthesize_media(spark.table("documents"))
+    feats = extract_features(media)
+    # argmax bin (lowest index wins ties) from the normalized histogram
+    top = F.array_position(
+        F.col("features"), F.array_max(F.col("features"))
+    ).cast("long") - 1
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        top.alias("top_bin"),
+    )
+
+
+def _oracle_td_media_features() -> str:
+    # payload = UTF-8 text bytes; text is ASCII so byte == ascii(char)
+    counts = (
+        "list_transform(generate_series(0, 15), "
+        "b -> len(list_filter(list_transform(string_split(text, ''), c -> ascii(c) % 16), "
+        "x -> x = b)))"
+    )
+    return f"""
+WITH hist AS (
+  SELECT doc_id AS media_id,
+         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+         CAST(length(text) AS BIGINT) AS n_bytes,
+         {counts} AS cnts
+  FROM documents
+)
+SELECT media_id, kind, n_bytes,
+       CAST(list_position(cnts, list_max(cnts)) - 1 AS BIGINT) AS top_bin
+FROM hist
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry fragments (merged by entry_queries)
+# ---------------------------------------------------------------------------
+
+TD_QUERIES = {
+    "td_minhash_lsh_pairs": q_td_minhash_lsh_pairs,
+    "td_simhash": q_td_simhash,
+    "td_ngram_jaccard": q_td_ngram_jaccard,
+    "td_embed_near_dup": q_td_embed_near_dup,
+    "td_cosine_topk": q_td_cosine_topk,
+    "td_ann_topk": q_td_ann_topk,
+    "td_lang_quality": q_td_lang_quality,
+    "td_fingerprint": q_td_fingerprint,
+    "td_media_features": q_td_media_features,
+}
+
+TD_ORACLES = {
+    "td_minhash_lsh_pairs": _oracle_td_minhash_lsh_pairs(),
+    "td_simhash": _oracle_td_simhash(),
+    "td_ngram_jaccard": _oracle_td_ngram_jaccard(),
+    "td_embed_near_dup": _oracle_td_embed_near_dup(),
+    "td_cosine_topk": _oracle_td_cosine_topk(),
+    "td_ann_topk": _oracle_td_ann_topk(),
+    "td_lang_quality": _oracle_td_lang_quality(),
+    "td_fingerprint": _oracle_td_fingerprint(),
+    "td_media_features": _oracle_td_media_features(),
+}

@@ -85,21 +85,36 @@ def shingles_col(col: Column, k: int = MINHASH_K) -> Column:
     )
 
 
-def minhash_signature(col: Column, k: int = MINHASH_K, h: int = MINHASH_H) -> Column:
-    """MinHash signature: array of h minima of universal hashes
-    ``(a_j * base + b_j) % MOD`` over the shingle-hash set. Entirely
-    codegen — one pass over the shingles per row, no shuffle."""
-    bases = F.transform(shingles_col(col, k), lambda s: rolling_hash(s))
-
-    def universal(j: int):
-        def f(x):
-            return (F.lit(MINHASH_A[j]) * x + F.lit(MINHASH_B[j])) % HASH_MOD
-
-        return f
-
-    return F.array(
-        *[F.array_min(F.transform(bases, universal(j))) for j in range(h)]
+def minhash_signature_from_shingles(sh: Column, h: int = MINHASH_H) -> Column:
+    """MinHash signature from a shingle array: ONE aggregate pass with
+    an h-wide array accumulator — each shingle is hashed once and
+    folded into all h minima via zip_with, so the per-char rolling
+    hash is never duplicated per hash function (an h-way
+    ``array_min(transform(...))`` formulation would inline — and
+    recompute — the shingle hashing h times)."""
+    ab = F.array(
+        *[
+            F.struct(
+                F.lit(MINHASH_A[j]).alias("a"), F.lit(MINHASH_B[j]).alias("b")
+            )
+            for j in range(h)
+        ]
     )
+    init = F.array(*[F.lit(HASH_MOD).cast("long")] * h)
+    bases = F.transform(sh, lambda s: rolling_hash(s))  # each shingle hashed once
+    return F.aggregate(
+        bases,
+        init,
+        lambda acc, x: F.zip_with(
+            acc, ab, lambda m, c: F.least(m, (c["a"] * x + c["b"]) % HASH_MOD)
+        ),
+    )
+
+
+def minhash_signature(col: Column, k: int = MINHASH_K, h: int = MINHASH_H) -> Column:
+    """MinHash signature of a text column (see
+    ``minhash_signature_from_shingles``)."""
+    return minhash_signature_from_shingles(shingles_col(col, k), h)
 
 
 def lsh_band_keys(sig: Column, bands: int = MINHASH_BANDS, rows: int = MINHASH_ROWS) -> Column:
@@ -123,10 +138,17 @@ def minhash_lsh_pairs(
     (id_a < id_b). With ``jaccard_threshold`` set, candidates are
     verified with exact shingle-set Jaccard (computed only for bucket
     collisions). The band join is the only shuffle."""
-    sigs = df.select(
-        F.col(id_col).alias("id"),
-        shingles_col(F.col(text_col)).alias("sh"),
-        lsh_band_keys(minhash_signature(F.col(text_col))).alias("bands"),
+    # stage the shingle array as a real column so the signature
+    # references it instead of re-deriving tokens/shingles per use
+    # (multi-referenced non-cheap expressions are not re-inlined by
+    # CollapseProject)
+    sigs = (
+        df.select(
+            F.col(id_col).alias("id"),
+            shingles_col(F.col(text_col)).alias("sh"),
+        )
+        .select("id", "sh", minhash_signature_from_shingles(F.col("sh")).alias("sig"))
+        .select("id", "sh", lsh_band_keys(F.col("sig")).alias("bands"))
     )
     exploded = sigs.select(
         "id", "sh", F.posexplode("bands").alias("band_idx", "band_key")
@@ -161,19 +183,26 @@ def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
     """Frequency-weighted SimHash over token rolling-hashes: bit b is 1
     iff sum over tokens of (+1 if hash bit b set else -1) is > 0.
     One token-hash array per row, ``bits`` codegen aggregates over it."""
-    th = F.transform(tokens_col(col), lambda t: rolling_hash(t))
-
-    def bit_vote(b: int):
-        def f(acc, x):
-            return acc + (F.shiftright(x, b).bitwiseAND(F.lit(1)) * 2 - 1)
-
-        return f
-
-    value = F.lit(0).cast("long")
-    for b in range(bits):
-        vote = F.aggregate(th, F.lit(0).cast("long"), bit_vote(b))
-        value = value + F.when(vote > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0))
-    return value
+    th = F.transform(tokens_col(col), lambda t: rolling_hash(t))  # each token hashed once
+    powers = F.array(*[F.lit(2 ** b).cast("long") for b in range(bits)])
+    init = F.array(*[F.lit(0).cast("long")] * bits)
+    # one pass: fold every token hash into all `bits` vote counters
+    # ((x div 2^b) % 2) extracts bit b — long division is exact here
+    # since hashes < 2^31 are exactly representable as doubles
+    votes = F.aggregate(
+        th,
+        init,
+        lambda acc, x: F.zip_with(
+            acc, powers, lambda c, p: c + (((x / p).cast("long") % 2) * 2 - 1)
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def hamming_distance(a: Column, b: Column) -> Column:
