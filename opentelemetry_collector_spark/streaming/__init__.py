@@ -1,0 +1,18 @@
+"""Structured Streaming surface: the continuous (receiver-shaped)
+variant of the batch pipeline."""
+
+from .pipeline import (
+    TRANSCRIPT_SCHEMA,
+    stream_transcripts,
+    streaming_windowed_counts,
+    start_routed_stream,
+    batch_emitter_state,
+)
+
+__all__ = [
+    "TRANSCRIPT_SCHEMA",
+    "stream_transcripts",
+    "streaming_windowed_counts",
+    "start_routed_stream",
+    "batch_emitter_state",
+]

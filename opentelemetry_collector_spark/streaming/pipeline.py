@@ -1,0 +1,167 @@
+"""Structured Streaming pipeline: the reference's actual shape — a
+long-running receiver feeding processors and exporters continuously
+(docs/design.md:22) — expressed as readStream → (the SAME parse/
+enrich/route stages as batch) → watermarked windowed aggregation +
+foreachBatch fan-out.
+
+Key correspondences:
+  * file-source ``readStream`` = the otlp/fluentforward receiver
+    (receiver/otlpreceiver/logs/otlp.go:53-77): new files are the
+    arriving batches; ``maxFilesPerTrigger`` is the batch-size knob
+    (batch_processor.go:38-40);
+  * watermark + window close = the batch processor's timeout trigger
+    (batch_processor.go:115-171): a window emits when event time has
+    provably moved past it, not on a wall clock;
+  * ``foreachBatch`` multi-sink write = the fan-out connector
+    (processor/fanoutconnector.go:29-98) — each micro-batch is routed
+    once and written to every matching sink exactly like the batch
+    path, through the same Warehouse snapshot commits (epoch id →
+    run_id makes micro-batch writes idempotent under retries);
+  * ``applyInPandasWithState`` per-conversation batch emitter =
+    send_batch_size semantics (batch_processor.go:151-163 +
+    splittraces.go:22-65): per-key state accumulates counts and emits
+    a batch row each time the threshold is crossed.
+
+The transformation stages are literally the batch functions — one
+logical-plan library serves both engines, which is the point of the
+Spark-first design.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+from typing import Any, Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def stream_transcripts(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source receiver: each parquet file dropped into ``path`` is
+    an arriving batch."""
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def streaming_windowed_counts(
+    source: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked event-time window counts by role — the continuous
+    form of the batch ``aggregate_stage``; late rows beyond the
+    watermark are dropped exactly once rather than re-opening windows."""
+    return (
+        source.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "role")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            F.col("window.start").cast("timestamp").cast("long").alias("window_start"),
+            "role",
+            "n_turns",
+        )
+    )
+
+
+def start_routed_stream(
+    spark: SparkSession,
+    source: DataFrame,
+    warehouse,
+    checkpoint_dir: str,
+    config=None,
+    available_now: bool = True,
+):
+    """Run the full parse→enrich→route pipeline per micro-batch and
+    commit every routed sink through the Warehouse. Epoch id becomes
+    the run_id, so a retried micro-batch (failure replay) skips sinks
+    it already committed — exactly-once sink delivery on top of
+    at-least-once replay."""
+    from ..plans.pipeline import PipelineConfig, parse_stage, enrich_stage, route_stage
+    from .. import datagen
+
+    config = config or PipelineConfig()
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        parsed = parse_stage(batch_df, config.pattern, engine=config.parse_engine)
+        enriched = enrich_stage(
+            parsed, datagen.role_lookup_df(s), datagen.tool_lookup_df(s)
+        ).persist()
+        try:
+            for sink, df in route_stage(enriched, config.routes).items():
+                warehouse.write_sink(sink, df, run_id=f"epoch-{epoch_id}")
+        finally:
+            enriched.unpersist()
+
+    writer = (
+        source.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# stateful batch emitter (send_batch_size semantics)
+# ---------------------------------------------------------------------------
+
+BATCH_EMIT_SCHEMA = "conv_id string, batch_seq long, batch_rows long"
+_STATE_SCHEMA = "seen long, emitted long"
+
+
+def _emit_batches(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState, batch_size: int
+):
+    seen, emitted = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        seen += len(pdf)
+    out = []
+    # size-trigger: one emitted batch row per send_batch_size crossing
+    # (batch_processor.go:151-163); the remainder stays in state until
+    # more data (or the stream's end = timeout trigger analog).
+    while seen - emitted * batch_size >= batch_size:
+        emitted += 1
+        out.append((key[0], emitted, batch_size))
+    state.update((seen, emitted))
+    if out:
+        yield pd.DataFrame(out, columns=["conv_id", "batch_seq", "batch_rows"])
+
+
+def batch_emitter_state(
+    source: DataFrame, batch_size: int = 100
+) -> DataFrame:
+    """Per-conversation batch emission via ``applyInPandasWithState``:
+    counts turns per conv_id across micro-batches and emits one row per
+    completed batch of ``batch_size`` turns — the batch processor's
+    size trigger as keyed streaming state."""
+
+    def fn(key, pdfs, state):
+        yield from _emit_batches(key, pdfs, state, batch_size)
+
+    return source.groupBy("conv_id").applyInPandasWithState(
+        fn,
+        outputStructType=BATCH_EMIT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
