@@ -261,6 +261,62 @@ GROUP BY 1
 """
 
 
+def q_span_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-processor rename chain (span.go:105-221): to_attributes
+    extracts the event id out of each transcript body into the attrs
+    map, replacing it with an ``{event_id}`` placeholder in the name;
+    then from_attributes rebuilds a ``level/component`` span name from
+    two attributes (all-or-nothing)."""
+    from ..operators.span import rename_from_attributes, rename_to_attributes
+    from .pipeline import parse_stage
+
+    t = _derive_transcripts(spark, sf_dir)
+    parsed = parse_stage(t, engine="jvm")
+    spans = parsed.select(
+        "conv_id",
+        "turn_idx",
+        F.col("text").alias("name"),
+        F.map_filter(
+            F.create_map(
+                F.lit("level"), F.col("level"),
+                F.lit("component"), F.col("component"),
+            ),
+            lambda _k, v: v.isNotNull(),
+        ).alias("attrs"),
+    )
+    renamed = rename_to_attributes(spans, [r"event (?P<event_id>\d+)"])
+    rebuilt = rename_from_attributes(renamed, ["level", "component"], separator="/")
+    return rebuilt.select(
+        "conv_id",
+        "turn_idx",
+        F.col("name").alias("span_name"),
+        F.element_at(F.col("attrs"), "event_id").alias("event_id"),
+    )
+
+
+def _oracle_span_rename() -> str:
+    return f"""
+WITH t AS ({_TRANSCRIPTS_FROM_EVENTS}),
+p AS (
+  SELECT conv_id, turn_idx, text,
+    regexp_extract(text, '\\[(\\w+)\\] (\\w+): (.*?) duration=(\\d+)ms', 1) AS level,
+    regexp_extract(text, '\\[(\\w+)\\] (\\w+): (.*?) duration=(\\d+)ms', 2) AS component,
+    regexp_extract(text, 'event (\\d+)', 1) AS event_id
+  FROM t
+)
+SELECT conv_id, turn_idx,
+       -- to_attributes placeholder applies first, then from_attributes
+       -- (present for every parsed row) overwrites the whole name
+       CASE WHEN level <> '' AND component <> ''
+            THEN level || '/' || component
+            WHEN event_id <> ''
+            THEN regexp_replace(text, 'event (\\d+)', 'event {{event_id}}')
+            ELSE text END AS span_name,
+       CASE WHEN event_id <> '' THEN event_id END AS event_id
+FROM p
+"""
+
+
 def q_enrich_broadcast_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast-join enrich chain customer → nation → region (the
     resource-processor lookup-enrich analog), aggregated per region.
@@ -520,6 +576,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_routed_rows": q_pipeline_routed_rows,
     "route_fanout_counts": q_route_fanout_counts,
     "parse_extract_props": q_parse_extract_props,
+    "span_rename": q_span_rename,
     "enrich_broadcast_region": q_enrich_broadcast_region,
     "filter_strict_priority": q_filter_strict_priority,
     "agg_window_5min": q_agg_window_5min,
@@ -538,6 +595,7 @@ ORACLES: dict[str, str] = {
     "pipeline_routed_rows": _oracle_pipeline_routed_rows(),
     "route_fanout_counts": _oracle_route_fanout_counts(),
     "parse_extract_props": _oracle_parse_extract_props(),
+    "span_rename": _oracle_span_rename(),
     "enrich_broadcast_region": _oracle_enrich_broadcast_region(),
     "filter_strict_priority": _oracle_filter_strict_priority(),
     "agg_window_5min": _oracle_agg_window_5min(),
