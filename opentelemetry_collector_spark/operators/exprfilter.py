@@ -1,0 +1,124 @@
+"""Expression-language filter: the filter processor's ``expr`` match
+type (internal/processor/filterexpr/matcher.go:29-62), which evaluates
+a boolean expression over the env {MetricName, HasLabel(key),
+Label(key)} per datapoint; a metric matches when ANY of its datapoints
+matches (matcher.go:148-164).
+
+The expression compiles to a Catalyst predicate via a whitelist
+tokenizer → SQL translation (F.expr) — the Spark analog of the
+reference compiling user expressions to its own VM
+(filterexpr/matcher.go:36-42). Unknown identifiers/functions are
+config errors, mirroring compile-time failure.
+
+Supported surface (the subset the reference's tests exercise):
+  MetricName, Label("k"), HasLabel("k"), string/number literals,
+  == != < <= > >=, && || !, and/or/not, matches (regex, unanchored —
+  Go RE2 MatchString semantics, like filterset regexp §2.4), ( ).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_TOKEN = re.compile(
+    r"""\s*(?:
+      (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+    | (?P<number>\d+(?:\.\d+)?)
+    | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<op>==|!=|<=|>=|&&|\|\||[!<>(),])
+    )""",
+    re.VERBOSE,
+)
+
+_IDENT_SQL = {
+    "and": "AND", "or": "OR", "not": "NOT",
+    "true": "TRUE", "false": "FALSE", "nil": "NULL",
+}
+
+
+def compile_expr(
+    expression: str, name_col: str = "name", labels_col: str = "labels"
+) -> Column:
+    """expr string → Column predicate (raises ValueError on anything
+    outside the whitelist)."""
+    pos, out, toks = 0, [], []
+    while pos < len(expression):
+        m = _TOKEN.match(expression, pos)
+        if not m or m.end() == pos:
+            if expression[pos:].strip():
+                raise ValueError(f"unparseable expr at: {expression[pos:]!r}")
+            break
+        pos = m.end()
+        toks.append(m)
+
+    i = 0
+    while i < len(toks):
+        m = toks[i]
+        if m.group("string"):
+            s = m.group("string")
+            out.append("'" + s[1:-1].replace("\\", "").replace("'", "''") + "'")
+        elif m.group("number"):
+            out.append(m.group("number"))
+        elif m.group("ident"):
+            ident = m.group("ident")
+            if ident == "MetricName":
+                out.append(f"`{name_col}`")
+            elif ident in ("Label", "HasLabel"):
+                # expect ( "key" )
+                if (
+                    i + 3 > len(toks)
+                    or toks[i + 1].group("op") != "("
+                    or not toks[i + 2].group("string")
+                    or toks[i + 3].group("op") != ")"
+                ):
+                    raise ValueError(f'{ident} requires a ("key") argument')
+                key = toks[i + 2].group("string")[1:-1].replace("'", "''")
+                if ident == "Label":
+                    out.append(f"`{labels_col}`['{key}']")
+                else:
+                    out.append(f"map_contains_key(`{labels_col}`, '{key}')")
+                i += 3
+            elif ident == "matches":
+                out.append("RLIKE")  # unanchored, Go MatchString semantics
+            elif ident.lower() in _IDENT_SQL:
+                out.append(_IDENT_SQL[ident.lower()])
+            else:
+                raise ValueError(f"unknown identifier {ident!r} in expr")
+        else:
+            op = m.group("op")
+            out.append(
+                {"==": "=", "&&": "AND", "||": "OR", "!": "NOT"}.get(op, op)
+            )
+        i += 1
+    if not out:
+        raise ValueError("empty expression")
+    return F.expr(" ".join(out))
+
+
+def filter_metrics_expr(
+    df: DataFrame,
+    expression: str,
+    action: str = "include",
+    name_col: str = "name",
+    labels_col: str = "labels",
+) -> DataFrame:
+    """Keep (include) / drop (exclude) whole metrics by expression:
+    a metric matches when ANY of its datapoint rows matches
+    (matcher.go:148-164), so the per-row predicate is OR-ed across the
+    metric's rows with a window max — no row of a matching metric is
+    lost, order preserved (filter_processor.go:90-113)."""
+    if action not in ("include", "exclude"):
+        raise ValueError(f"unknown action {action!r}")
+    pred = compile_expr(expression, name_col, labels_col)
+    any_match = (
+        F.max(F.coalesce(pred, F.lit(False)).cast("int"))
+        .over(Window.partitionBy(name_col))
+        == 1
+    )
+    tagged = df.withColumn("_any_match", any_match)
+    keep = F.col("_any_match") if action == "include" else ~F.col("_any_match")
+    return tagged.filter(keep).drop("_any_match")

@@ -1,0 +1,71 @@
+"""filterexpr match-type tests, shaped after
+internal/processor/filterexpr/matcher_test.go cases."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.operators.exprfilter import (
+    compile_expr,
+    filter_metrics_expr,
+)
+
+
+@pytest.fixture(scope="module")
+def metrics(spark):
+    rows = [
+        ("http.requests", {"method": "GET", "code": "200"}),
+        ("http.requests", {"method": "POST", "code": "500"}),
+        ("cpu.usage", {"core": "0"}),
+        ("mem.usage", {}),
+    ]
+    return spark.createDataFrame(rows, "name string, labels map<string,string>").cache()
+
+
+class TestCompile:
+    def test_metric_name_equality(self, metrics):
+        got = metrics.filter(compile_expr('MetricName == "cpu.usage"')).collect()
+        assert len(got) == 1 and got[0]["name"] == "cpu.usage"
+
+    def test_label_and_haslabel(self, metrics):
+        got = metrics.filter(
+            compile_expr('HasLabel("method") && Label("code") == "500"')
+        ).collect()
+        assert len(got) == 1 and got[0]["labels"]["method"] == "POST"
+
+    def test_matches_regex_unanchored(self, metrics):
+        got = metrics.filter(compile_expr('MetricName matches "usage"')).collect()
+        assert {r["name"] for r in got} == {"cpu.usage", "mem.usage"}
+
+    def test_not_and_or(self, metrics):
+        got = metrics.filter(
+            compile_expr('MetricName == "cpu.usage" || MetricName == "mem.usage"')
+        ).count()
+        assert got == 2
+        got = metrics.filter(compile_expr('!(HasLabel("method"))')).count()
+        assert got == 2
+
+    def test_unknown_identifier_rejected(self):
+        with pytest.raises(ValueError, match="unknown identifier"):
+            compile_expr("DropTable == 1")
+
+    def test_garbage_rejected(self):
+        with pytest.raises(ValueError):
+            compile_expr("MetricName; DROP TABLE x")
+
+
+class TestFilterMetrics:
+    def test_any_datapoint_matches_keeps_whole_metric(self, metrics):
+        # code==500 matches only one datapoint row, but the whole
+        # http.requests metric is kept (matcher.go:148-164)
+        got = filter_metrics_expr(metrics, 'Label("code") == "500"').collect()
+        assert len(got) == 2
+        assert {r["name"] for r in got} == {"http.requests"}
+
+    def test_exclude_drops_whole_metric(self, metrics):
+        got = filter_metrics_expr(metrics, 'Label("code") == "500"', action="exclude")
+        assert {r["name"] for r in got.collect()} == {"cpu.usage", "mem.usage"}
+
+    def test_null_label_eval_is_not_match(self, metrics):
+        # Label() on a metric without that label → NULL → not a match
+        got = filter_metrics_expr(metrics, 'Label("core") == "0"').collect()
+        assert {r["name"] for r in got} == {"cpu.usage"}

@@ -1,0 +1,53 @@
+"""OTLP protobuf-JSON round trip: flat records → resourceLogs tree →
+flat records (fileexporter → otlpreceiver pair)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.sources.otlp_json import (
+    logs_from_otlp_json,
+    logs_to_otlp_json,
+)
+
+
+class TestOtlpJsonRoundTrip:
+    def test_round_trip_preserves_rows(self, spark, tiny_transcripts):
+        out = logs_to_otlp_json(tiny_transcripts)
+        back = logs_from_otlp_json(out)
+        n = tiny_transcripts.count()
+        # LogRecordCount conservation (log.go:85-97)
+        assert back.count() == n
+        # per-turn text equality under (conv_id, turn_idx) keys — the
+        # north-star per-row invariant
+        orig = tiny_transcripts.select("conv_id", "turn_idx", "role", "text", "tool")
+        got = back.select("conv_id", "turn_idx", "role", "text", "tool")
+        assert got.subtract(orig).count() == 0
+        assert orig.subtract(got).count() == 0
+
+    def test_timestamps_survive_ns_encoding(self, spark, tiny_transcripts):
+        back = logs_from_otlp_json(logs_to_otlp_json(tiny_transcripts))
+        orig = tiny_transcripts.select(
+            "conv_id", "turn_idx", F.col("ts").cast("timestamp").cast("long").alias("es")
+        )
+        got = back.select(
+            "conv_id", "turn_idx", F.col("ts").cast("timestamp").cast("long").alias("es")
+        )
+        assert got.subtract(orig).count() == 0
+
+    def test_one_line_per_resource_group(self, spark, tiny_transcripts):
+        out = logs_to_otlp_json(tiny_transcripts)
+        assert out.count() == tiny_transcripts.select("conv_id").distinct().count()
+        # valid JSON with the OTLP field names (v0.17 shape)
+        line = json.loads(out.first()["otlp"])
+        rl = line["resourceLogs"][0]
+        assert rl["resource"]["attributes"][0]["key"] == "conv_id"
+        ill = rl["instrumentationLibraryLogs"][0]
+        assert ill["instrumentationLibrary"]["name"] == "transcripts"
+        assert ill["logs"][0]["body"]["stringValue"]
+
+    def test_library_name_carried(self, spark, tiny_transcripts):
+        back = logs_from_otlp_json(
+            logs_to_otlp_json(tiny_transcripts, library_name="libX")
+        )
+        assert back.select("library").distinct().collect()[0]["library"] == "libX"

@@ -50,32 +50,44 @@ for _ in range(5):
     t0 = time.time()
     one_pass()
     times.append(time.time() - t0)
-best = min(times)
-print(json.dumps({{"cpus": cpus, "rows": n, "sec": best, "all_sec": times,
-                   "turns_per_sec": n / best}}))
+rep = sorted(times)[len(times) // 2]  # median: robust to GC outliers
+print(json.dumps({{"cpus": cpus, "rows": n, "sec": rep, "all_sec": times,
+                   "turns_per_sec": n / rep}}))
 """
 
 
-def ensure_input(n_convs: int) -> str:
-    path = f"/tmp/transcripts_scaling_{n_convs}.parquet"
+def ensure_input(n_convs: int, replicate: int = 16) -> str:
+    """Deterministic scaling input: a seeded base table replicated
+    ``replicate``× with suffixed conv_ids (distinct conversations,
+    identical turn content), written as many parquet files so the scan
+    parallelizes like the production input (thousands of files on
+    object storage). Sized so the measured section runs tens of
+    seconds at N cores — short tasks measure scheduler overhead, not
+    scaling."""
+    path = f"/tmp/transcripts_scaling_{n_convs}x{replicate}"
     if os.path.exists(path):
         return path
     sys.path.insert(0, REPO)
     from opentelemetry_collector_spark.datagen import make_transcripts_pdf
+    from opentelemetry_collector_spark.session import get_spark
 
-    print(f"generating {n_convs} conversations …", file=sys.stderr)
+    print(f"generating {n_convs} conversations ×{replicate} …", file=sys.stderr)
     pdf = make_transcripts_pdf(n_convs=n_convs, seed=42)
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    spark = get_spark(app_name="scaling_datagen", cpus=0)  # local[*]
+    base = spark.createDataFrame(pdf)
+    from pyspark.sql import functions as F
 
-    # small row groups: parquet scan parallelism is capped at the
-    # row-group count — the production input (thousands of files on
-    # object storage) never hits this, but a single locally-generated
-    # file with default 1M-row groups caps the scan at ~rows/1M tasks.
-    pq.write_table(
-        pa.Table.from_pandas(pdf, preserve_index=False), path, row_group_size=131072
+    replicated = (
+        base.crossJoin(
+            spark.range(replicate).select(F.col("id").alias("_rep"))
+        )
+        .withColumn("conv_id", F.concat_ws("#", "conv_id", F.col("_rep").cast("string")))
+        .drop("_rep")
     )
-    print(f"wrote {len(pdf)} rows to {path}", file=sys.stderr)
+    replicated.repartition(128).write.mode("overwrite").parquet(path)
+    n = spark.read.parquet(path).count()
+    print(f"wrote {n} rows to {path}", file=sys.stderr)
+    spark.stop()
     return path
 
 
