@@ -532,6 +532,150 @@ GROUP BY 1
 """
 
 
+def q_turn_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation session analysis with window functions: per-role
+    sum/count of inter-turn gaps (ts − lag(ts) within conv_id ordered
+    by turn_idx) — the stable-turn-ordering invariant exercised as an
+    analytic query. Integer sums keep both engines exact."""
+    t = _derive_transcripts(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gap = _epoch_s(F.col("ts")) - _epoch_s(F.lag("ts").over(w))
+    return (
+        t.withColumn("gap_s", gap)
+        .filter(F.col("gap_s").isNotNull())
+        .groupBy("role")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_s").alias("sum_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+        )
+    )
+
+
+def _oracle_turn_gaps() -> str:
+    epoch = _DUCK_EPOCH.format(col="ts")
+    epoch_lag = _DUCK_EPOCH.format(col="lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx)")
+    return f"""
+WITH t AS ({_TRANSCRIPTS_FROM_EVENTS}),
+g AS (SELECT role, {epoch} - {epoch_lag} AS gap_s FROM t)
+SELECT role, CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(sum(gap_s) AS BIGINT) AS sum_gap_s,
+       CAST(max(gap_s) AS BIGINT) AS max_gap_s
+FROM g WHERE gap_s IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q_topk_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k hottest conversations by turn count (deterministic
+    tie-break by conv_id) — TakeOrderedAndProject, no full sort."""
+    t = _derive_transcripts(spark, sf_dir)
+    return (
+        t.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .orderBy(F.desc("n_turns"), F.col("conv_id"))
+        .limit(20)
+    )
+
+
+def _oracle_topk_conversations() -> str:
+    return f"""
+WITH t AS ({_TRANSCRIPTS_FROM_EVENTS})
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns
+FROM t GROUP BY 1
+ORDER BY n_turns DESC, conv_id
+LIMIT 20
+"""
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivor set: keep the lowest doc_id per exact-content
+    cluster and count survivors per (source, lang) — the cluster →
+    survivor join pattern of a curation pipeline."""
+    from ..trainingdata import exact_dedup_clusters
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    clusters = exact_dedup_clusters(docs)
+    survivors = docs.join(
+        clusters.select(F.col("keep_id").alias("doc_id")), "doc_id", "inner"
+    )
+    return survivors.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_survivors")
+    )
+
+
+def _oracle_dedup_survivors() -> str:
+    return """
+WITH c AS (
+  SELECT min(doc_id) AS keep_id
+  FROM documents
+  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+)
+SELECT source, lang, CAST(count(*) AS BIGINT) AS n_survivors
+FROM documents JOIN c ON doc_id = keep_id
+GROUP BY 1, 2
+"""
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data curation: quality-filter → exact dedup →
+    per-language survivor stats (docs, total whitespace tokens) — the
+    canonical pretraining-corpus cleanup expressed as one plan."""
+    from ..trainingdata import exact_dedup_clusters, quality_score, token_count
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    good = docs.filter(quality_score(F.col("text")) >= 0.5)
+    survivors = good.join(
+        exact_dedup_clusters(good).select(F.col("keep_id").alias("doc_id")),
+        "doc_id",
+        "inner",
+    )
+    return survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("total_tokens"),
+    )
+
+
+def _oracle_curation_pipeline() -> str:
+    # quality_score inlined (same formula as td_lang_quality's oracle)
+    toks = "string_split_regex(lower(trim(text)), ' +')"
+    en_stop = "[" + ", ".join(
+        f"'{w}'"
+        for w in [
+            "the", "a", "an", "and", "or", "is", "are", "was", "of", "to",
+            "in", "on", "for", "with", "it", "this", "that", "as",
+        ]
+    ) + "]"
+    n_toks = f"CAST(len({toks}) AS DOUBLE)"
+    stop_ratio = f"CAST(len(list_filter({toks}, t -> list_contains({en_stop}, t))) AS DOUBLE) / {n_toks}"
+    punct_ratio = (
+        "CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)"
+        " / CAST(length(text) AS DOUBLE)"
+    )
+    score = (
+        f"round(0.4 * least({n_toks} / 64.0, 1.0)"
+        f" + 0.4 * least(({stop_ratio}) * 4.0, 1.0)"
+        f" + 0.2 * (1.0 - least(({punct_ratio}) * 10.0, 1.0)), 6)"
+    )
+    return f"""
+WITH good AS (
+  SELECT * FROM documents WHERE {score} >= 0.5
+), c AS (
+  SELECT min(doc_id) AS keep_id
+  FROM good
+  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split_regex(lower(trim(text)), ' +'))) AS BIGINT) AS total_tokens
+FROM good JOIN c ON doc_id = keep_id
+GROUP BY 1
+"""
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary (the classic agg benchmark),
     decimal-exact."""
@@ -585,6 +729,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sampler_priority_override": q_sampler_priority_override,
     "sampler_murmur3": q_sampler_murmur3,
     "dedup_exact": q_dedup_exact,
+    "dedup_survivors": q_dedup_survivors,
+    "curation_pipeline": q_curation_pipeline,
+    "turn_gaps": q_turn_gaps,
+    "topk_conversations": q_topk_conversations,
     "token_count_by_lang": q_token_count_by_lang,
     "tpch_q1": q_tpch_q1,
     **TD_QUERIES,
@@ -604,6 +752,10 @@ ORACLES: dict[str, str] = {
     "sampler_priority_override": _oracle_sampler_priority_override(),
     # sampler_murmur3: intentionally no oracle (murmur3 not SQL-expressible)
     "dedup_exact": _oracle_dedup_exact(),
+    "dedup_survivors": _oracle_dedup_survivors(),
+    "curation_pipeline": _oracle_curation_pipeline(),
+    "turn_gaps": _oracle_turn_gaps(),
+    "topk_conversations": _oracle_topk_conversations(),
     "token_count_by_lang": _oracle_token_count_by_lang(),
     "tpch_q1": _oracle_tpch_q1(),
     **TD_ORACLES,
