@@ -1,0 +1,103 @@
+"""Physical-plan quality gates: the properties that make the pipeline
+scale are asserted here so a regression (lost broadcast, extra
+shuffle, broken pushdown) fails CI, not the 100 TB run."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark import datagen
+from opentelemetry_collector_spark.plans.pipeline import (
+    PipelineConfig,
+    aggregate_combined,
+    enrich_stage,
+    parse_stage,
+    route_stage,
+)
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def parquet_transcripts(spark, tiny_transcripts, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "transcripts")
+    tiny_transcripts.write.parquet(p)
+    return spark.read.parquet(p)
+
+
+class TestPlanQuality:
+    def test_enrich_joins_are_broadcast(self, spark, parquet_transcripts):
+        enriched = enrich_stage(
+            parse_stage(parquet_transcripts, engine="jvm"),
+            datagen.role_lookup_df(spark),
+            datagen.tool_lookup_df(spark),
+        )
+        plan = plan_of(enriched)
+        assert plan.count("BroadcastHashJoin") == 2, plan
+        assert "SortMergeJoin" not in plan
+
+    def test_filter_pushdown_reaches_scan(self, spark, parquet_transcripts):
+        q = parquet_transcripts.filter(F.col("conv_id") == "conv-42").select("text")
+        plan = plan_of(q)
+        assert "PushedFilters: [IsNotNull(conv_id), EqualTo(conv_id,conv-42)]" in plan, plan
+
+    def test_column_pruning_reaches_scan(self, spark, parquet_transcripts):
+        q = parse_stage(parquet_transcripts, engine="jvm").select("conv_id", "level")
+        plan = plan_of(q)
+        # the scan must read only the columns the parse projection needs
+        assert "ReadSchema: struct<conv_id:string,text:string>" in plan, plan
+
+    def test_route_stage_adds_no_shuffle(self, spark, parquet_transcripts):
+        parsed = parse_stage(parquet_transcripts, engine="jvm")
+        for sink, df in route_stage(parsed, PipelineConfig().routes).items():
+            assert "Exchange" not in plan_of(df), sink
+
+    def test_grouping_sets_single_shuffle(self, spark, parquet_transcripts):
+        agg = aggregate_combined(parse_stage(parquet_transcripts, engine="jvm"))
+        plan = plan_of(agg)
+        # one expand + one exchange: 4 aggregations for one shuffle
+        assert plan.count("Exchange") == 1, plan
+        assert "Expand" in plan
+
+    def test_aggregate_has_partial_map_side(self, spark, parquet_transcripts):
+        agg = (
+            parse_stage(parquet_transcripts, engine="jvm")
+            .groupBy("role")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = plan_of(agg)
+        # partial_count before the exchange = map-side combine
+        assert "partial_count" in plan, plan
+
+    def test_whole_stage_codegen_covers_parse(self, spark, parquet_transcripts):
+        plan = plan_of(parse_stage(parquet_transcripts, engine="jvm"))
+        # "*(n)" node prefixes mark whole-stage-codegen stages in the
+        # compact plan string
+        assert "*(1) Project" in plan, plan
+
+    def test_minhash_lsh_single_join_shuffle_side(self, spark):
+        from opentelemetry_collector_spark.trainingdata import minhash_lsh_pairs
+
+        docs = datagen.make_transcripts_df(spark, n_convs=5).selectExpr(
+            "cast(turn_idx as long) as doc_id", "text"
+        )
+        plan = plan_of(minhash_lsh_pairs(docs))
+        # signature/shingle computation must not shuffle; only the
+        # band self-join and the pair dedup may exchange
+        n_exchanges = plan.count("Exchange")
+        assert n_exchanges <= 3, f"{n_exchanges} exchanges\n{plan}"
+
+    def test_topk_uses_take_ordered(self, spark, parquet_transcripts):
+        q = (
+            parquet_transcripts.groupBy("conv_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"))
+            .limit(5)
+        )
+        plan = plan_of(q)
+        assert "TakeOrderedAndProject" in plan, plan
