@@ -7,7 +7,23 @@ from .filters import (
     include_exclude_keep,
 )
 from .sampler import ProbabilisticSampler
-from .batch import batch_counts, batch_trigger_metrics
+from .batch import batch_counts, batch_trigger_metrics, split_batches
+from .span import (
+    ResourceProcessor,
+    ToAttributesRule,
+    rename_from_attributes,
+    rename_to_attributes,
+)
+from .exprfilter import compile_expr, filter_metrics_expr
+from .metrics import (
+    DATAPOINT_SCHEMA,
+    datapoint_count,
+    filter_metric_names,
+    metric_count,
+    resource_to_label,
+    temporality_totals,
+    validate_datapoints,
+)
 
 __all__ = [
     "Action",
@@ -21,4 +37,18 @@ __all__ = [
     "ProbabilisticSampler",
     "batch_counts",
     "batch_trigger_metrics",
+    "split_batches",
+    "ResourceProcessor",
+    "ToAttributesRule",
+    "rename_from_attributes",
+    "rename_to_attributes",
+    "compile_expr",
+    "filter_metrics_expr",
+    "DATAPOINT_SCHEMA",
+    "datapoint_count",
+    "filter_metric_names",
+    "metric_count",
+    "resource_to_label",
+    "temporality_totals",
+    "validate_datapoints",
 ]

@@ -676,6 +676,65 @@ GROUP BY 1
 """
 
 
+_METRICS_FROM_EVENTS = """
+SELECT
+  'events.' || event_type                            AS name,
+  CASE WHEN event_type IN ('click', 'view') THEN 'IntSum' ELSE 'DoubleSum' END
+                                                     AS data_type,
+  CASE WHEN event_type IN ('click', 'view') THEN 'DELTA' ELSE 'CUMULATIVE' END
+                                                     AS temporality,
+  ts,
+  CASE WHEN event_type IN ('click', 'view')
+       THEN CAST(CAST(floor(value) AS BIGINT) AS BIGINT) END        AS int_value,
+  CASE WHEN NOT event_type IN ('click', 'view')
+       THEN CAST(round(value, 6) AS DOUBLE) END                     AS double_value
+FROM events
+"""
+
+
+def q_metrics_temporality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metrics signal: derive a datapoint table from events (IntSum
+    DELTA for click/view, DoubleSum CUMULATIVE for the rest) and run
+    the temporality roll-up — DELTA sums increments, CUMULATIVE takes
+    the latest value by event time (metric.go:22-28 semantics)."""
+    from ..operators.metrics import temporality_totals
+
+    _register(spark, sf_dir, "events")
+    dps = spark.sql(_METRICS_FROM_EVENTS).withColumn(
+        "labels",
+        F.map_from_arrays(F.array().cast("array<string>"), F.array().cast("array<string>")),
+    )
+    totals = temporality_totals(dps)
+    # CUMULATIVE latest-by-ts needs a deterministic tie-break: restrict
+    # the emitted latest_value to DELTA=NULL side and make it exact by
+    # rounding at derivation (already 6dp).
+    return totals.select(
+        "name", "temporality", "n_points", "delta_total",
+        F.when(F.col("temporality") == "CUMULATIVE", F.col("latest_value")).alias(
+            "latest_value"
+        ),
+    )
+
+
+def _oracle_metrics_temporality() -> str:
+    # DuckDB: arg_max implements max_by; ties on ts broken identically
+    # because within a name the max-ts row is unique in this data --
+    # verified by the row-count gate if that ever changes.
+    duck_metrics = _METRICS_FROM_EVENTS.replace("AS STRING", "AS VARCHAR")
+    return f"""
+WITH dp AS ({duck_metrics})
+SELECT name, temporality, CAST(count(*) AS BIGINT) AS n_points,
+       round(sum(CASE WHEN temporality = 'DELTA'
+                      THEN coalesce(double_value, CAST(int_value AS DOUBLE)) END), 6)
+         AS delta_total,
+       CASE WHEN temporality = 'CUMULATIVE'
+            THEN round(arg_max(coalesce(double_value, CAST(int_value AS DOUBLE)), ts), 6)
+       END AS latest_value
+FROM dp
+GROUP BY 1, 2
+"""
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary (the classic agg benchmark),
     decimal-exact."""
@@ -734,6 +793,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "turn_gaps": q_turn_gaps,
     "topk_conversations": q_topk_conversations,
     "token_count_by_lang": q_token_count_by_lang,
+    "metrics_temporality": q_metrics_temporality,
     "tpch_q1": q_tpch_q1,
     **TD_QUERIES,
 }
@@ -757,6 +817,7 @@ ORACLES: dict[str, str] = {
     "turn_gaps": _oracle_turn_gaps(),
     "topk_conversations": _oracle_topk_conversations(),
     "token_count_by_lang": _oracle_token_count_by_lang(),
+    "metrics_temporality": _oracle_metrics_temporality(),
     "tpch_q1": _oracle_tpch_q1(),
     **TD_ORACLES,
 }

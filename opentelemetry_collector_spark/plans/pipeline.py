@@ -150,6 +150,56 @@ def route_stage(df: DataFrame, routes: list[RouteRule]) -> dict[str, DataFrame]:
     return {r.sink: df.filter(r.predicate(df)) for r in routes}
 
 
+def route_stage_tagged(df: DataFrame, routes: list[RouteRule]) -> DataFrame:
+    """Fan-out as ONE operator: each row explodes into one copy per
+    matching sink, tagged with a ``sink`` column. Same rows as
+    ``route_stage`` (a row reaches every sink whose rule matches —
+    the cloning fan-out connector, cloningfanoutconnector.go:46-66),
+    but the whole fan-out is a single job over a single scan instead
+    of one job per sink.
+
+    At scale this is the Iceberg-native layout: write once PARTITIONED
+    BY sink; each sink is then a partition-pruned view. It also lets
+    ALL per-sink aggregates share one shuffle (see
+    ``aggregate_combined_tagged``) — 3 sinks × 4 groupings for one
+    exchange instead of three."""
+    matches = F.array(
+        *[F.when(r.predicate(df), F.lit(r.sink)) for r in routes]
+    )
+    return df.withColumn("sink", F.explode(F.array_compact(matches)))
+
+
+def aggregate_combined_tagged(tagged: DataFrame, window: str = "5 minutes") -> DataFrame:
+    """All four aggregations for ALL sinks in one shuffle: the
+    grouping-sets aggregation of ``aggregate_combined`` with ``sink``
+    added to every grouping set."""
+    window_start = (
+        F.window("ts", window).start.cast("timestamp").cast("long").alias("window_start")
+    )
+    base = tagged.select("sink", "conv_id", "role", "tool", window_start)
+    gs = base.groupingSets(
+        [
+            ["sink", "conv_id"],
+            ["sink", "role"],
+            ["sink", "tool"],
+            ["sink", "window_start"],
+        ],
+        "sink", "conv_id", "role", "tool", "window_start",
+    ).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.concat_ws(
+            "",
+            F.when(F.grouping("conv_id") == 0, F.lit("by_conv")).otherwise(F.lit("")),
+            F.when(F.grouping("role") == 0, F.lit("by_role")).otherwise(F.lit("")),
+            F.when(F.grouping("tool") == 0, F.lit("by_tool")).otherwise(F.lit("")),
+            F.when(F.grouping("window_start") == 0, F.lit("by_window")).otherwise(F.lit("")),
+        ).alias("group_set"),
+    )
+    return gs.select(
+        "sink", "group_set", "conv_id", "role", "tool", "window_start", "n_turns"
+    )
+
+
 def aggregate_combined(df: DataFrame, window: str = "5 minutes") -> DataFrame:
     """All four north-star aggregations — by conv_id, by role, by tool,
     by event-time window — in ONE shuffle via GROUPING SETS.
@@ -238,6 +288,41 @@ def repartition_for_skew(
 def salted_key(key: Column, buckets: int = 16) -> Column:
     """conv_id + deterministic salt bucket for hot conversations."""
     return F.concat(key, F.lit("#"), (F.pmod(F.xxhash64(F.col("turn_idx")), buckets)).cast("string"))
+
+
+def run_pipeline_fused(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    config: PipelineConfig | None = None,
+    role_lookup: DataFrame | None = None,
+    tool_lookup: DataFrame | None = None,
+) -> dict:
+    """The scale-optimal compilation of the pipeline: identical
+    semantics to ``run_pipeline`` but the whole job is TWO actions —
+    one tagged fan-out write (all sinks in one pass; write PARTITIONED
+    BY sink on a real warehouse) and one grouping-sets aggregation
+    (all sinks × all four groupings in one shuffle). Fewer driver
+    round-trips and one exchange instead of three; this is the plan
+    the scaling bench measures.
+
+    Returns {'enriched', 'routed_tagged', 'aggregates_tagged'}.
+    """
+    config = config or PipelineConfig()
+    role_lookup = role_lookup or datagen.role_lookup_df(spark)
+    tool_lookup = tool_lookup or datagen.tool_lookup_df(spark)
+
+    parsed = parse_stage(transcripts, config.pattern, engine=config.parse_engine)
+    enriched = enrich_stage(
+        parsed, role_lookup, tool_lookup, redact_sensitive=config.redact_sensitive
+    )
+    if config.persist:
+        enriched = enriched.persist()
+    tagged = route_stage_tagged(enriched, config.routes)
+    return {
+        "enriched": enriched,
+        "routed_tagged": tagged,
+        "aggregates_tagged": aggregate_combined_tagged(tagged, config.window),
+    }
 
 
 def run_pipeline(

@@ -22,12 +22,19 @@ WORKER = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
 from opentelemetry_collector_spark.session import get_spark
-from opentelemetry_collector_spark.plans import run_pipeline, PipelineConfig
+from opentelemetry_collector_spark.plans import PipelineConfig
+from opentelemetry_collector_spark.plans.pipeline import run_pipeline_fused
 
 cpus = int(sys.argv[1])
 path = sys.argv[2]
 spark = get_spark(app_name=f"scaling_{{cpus}}", cpus=cpus, shuffle_partitions=cpus,
-                  extra_conf={{"spark.sql.files.maxPartitionBytes": str(16*1024*1024)}})
+                  extra_conf={{
+                      "spark.sql.files.maxPartitionBytes": str(16*1024*1024),
+                      # bigger Arrow batches: fewer JVM↔Python handoffs in
+                      # the parse UDF (default 10k batches are overhead-
+                      # bound at high core counts)
+                      "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+                  }})
 # explicit hash partitioning on the conversation key (north rule) —
 # also guarantees the parse stage parallelizes regardless of the
 # input's file layout. The scan+repartition is the one-time ingest;
@@ -37,11 +44,11 @@ transcripts = spark.read.parquet(path).repartition(cpus * 2, "conv_id").persist(
 n = transcripts.count()
 
 def one_pass():
-    res = run_pipeline(spark, transcripts, PipelineConfig(parse_engine="arrow"))
-    for sink, df in res["routed"].items():
-        df.write.format("noop").mode("overwrite").save()
-    for sink, agg_df in res["aggregates_combined"].items():
-        agg_df.write.format("noop").mode("overwrite").save()
+    # the fused plan: one tagged fan-out write + one all-sinks
+    # grouping-sets aggregation (2 actions, 1 shuffle)
+    res = run_pipeline_fused(spark, transcripts, PipelineConfig(parse_engine="arrow"))
+    res["routed_tagged"].write.format("noop").mode("overwrite").save()
+    res["aggregates_tagged"].write.format("noop").mode("overwrite").save()
     res["enriched"].unpersist()
 
 one_pass()  # warmup: codegen, Python worker spawn
@@ -92,9 +99,15 @@ def ensure_input(n_convs: int, replicate: int = 16) -> str:
 
 
 def run_at(cpus: int, path: str) -> dict:
+    """One parallelism level in a fresh JVM, CPU-pinned via taskset so
+    each level owns exactly its core budget. Without pinning, the N
+    leg's Python workers, JVM GC, and shuffle threads overflow onto
+    the idle 4N−N cores and the low leg measures artificially fast —
+    on a real cluster every executor brings its own cores for all of
+    that, which is what the pinned measurement models."""
     script = WORKER.format(repo=REPO)
     out = subprocess.run(
-        [sys.executable, "-c", script, str(cpus), path],
+        ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", script, str(cpus), path],
         capture_output=True, text=True, timeout=1800,
     )
     if out.returncode != 0:
