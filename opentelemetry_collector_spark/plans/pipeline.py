@@ -297,13 +297,20 @@ def run_pipeline_fused(
     role_lookup: DataFrame | None = None,
     tool_lookup: DataFrame | None = None,
 ) -> dict:
-    """The scale-optimal compilation of the pipeline: identical
-    semantics to ``run_pipeline`` but the whole job is TWO actions —
-    one tagged fan-out write (all sinks in one pass; write PARTITIONED
-    BY sink on a real warehouse) and one grouping-sets aggregation
-    (all sinks × all four groupings in one shuffle). Fewer driver
-    round-trips and one exchange instead of three; this is the plan
-    the scaling bench measures.
+    """Alternative compilation: identical semantics to
+    ``run_pipeline`` in TWO actions — one tagged fan-out write (all
+    sinks in one pass; on a real warehouse, write PARTITIONED BY sink
+    for one atomic multi-sink commit) and one grouping-sets
+    aggregation covering all sinks × all four groupings in a single
+    shuffle.
+
+    Trade-off (measured on local[8..32], 36M rows): the explode
+    roughly doubles in-flight rows, so this plan loses to the
+    multi-action plan when sinks overlap heavily (archive matches
+    everything); it wins when routes are near-disjoint, when the sink
+    count is large (driver round-trips dominate), or when the target
+    needs one atomic partitioned write. Equivalence is pinned by
+    tests/test_fused_pipeline.py.
 
     Returns {'enriched', 'routed_tagged', 'aggregates_tagged'}.
     """
