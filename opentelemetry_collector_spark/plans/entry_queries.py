@@ -676,6 +676,43 @@ GROUP BY 1
 """
 
 
+def q_trace_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trace signal: conversation=trace, turn=span (deterministic md5
+    span ids, lag-linked parents); per-trace span/root/error counts
+    and wall duration — the tail-sampling decision view."""
+    from ..operators.traces import trace_summaries, transcripts_to_spans
+    from .pipeline import parse_stage
+
+    t = _derive_transcripts(spark, sf_dir)
+    spans = transcripts_to_spans(parse_stage(t, engine="jvm"))
+    return trace_summaries(spans)
+
+
+def _oracle_trace_summaries() -> str:
+    epoch = _DUCK_EPOCH.format(col="ts")
+    return f"""
+WITH t AS ({_TRANSCRIPTS_FROM_EVENTS}),
+p AS (
+  SELECT conv_id AS trace_id, turn_idx, ts,
+    regexp_extract(text, '\\[(\\w+)\\]', 1) AS level,
+    CASE WHEN regexp_matches(text, '\\[(\\w+)\\] (\\w+): (.*?) duration=(\\d+)ms')
+         THEN CAST(regexp_extract(text, 'duration=(\\d+)ms', 1) AS BIGINT)
+         ELSE 0 END AS duration_ms,
+    lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_turn
+  FROM t
+)
+SELECT trace_id, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN prev_turn IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_roots,
+       CAST(sum(CASE WHEN level = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+       -- Spark's end_ts/start_ts cast to long truncates to whole
+       -- seconds; mirror that exactly, then scale to ms
+       CAST((max(({epoch} * 1000000 + duration_ms * 1000) // 1000000)
+             - min({epoch})) * 1000 AS BIGINT) AS duration_ms
+FROM p
+GROUP BY 1
+"""
+
+
 _METRICS_FROM_EVENTS = """
 SELECT
   'events.' || event_type                            AS name,
@@ -794,6 +831,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_conversations": q_topk_conversations,
     "token_count_by_lang": q_token_count_by_lang,
     "metrics_temporality": q_metrics_temporality,
+    "trace_summaries": q_trace_summaries,
     "tpch_q1": q_tpch_q1,
     **TD_QUERIES,
 }
@@ -818,6 +856,7 @@ ORACLES: dict[str, str] = {
     "topk_conversations": _oracle_topk_conversations(),
     "token_count_by_lang": _oracle_token_count_by_lang(),
     "metrics_temporality": _oracle_metrics_temporality(),
+    "trace_summaries": _oracle_trace_summaries(),
     "tpch_q1": _oracle_tpch_q1(),
     **TD_ORACLES,
 }
