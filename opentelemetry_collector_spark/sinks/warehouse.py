@@ -119,12 +119,18 @@ class Warehouse:
         if os.path.exists(path):  # orphan from a crashed attempt
             shutil.rmtree(path)
 
-        # lineage in the same action as the write: tag each row with its
-        # physical partition, let the parquet writer partition the output
-        # by it, then read the per-partition stats back from the footer
-        # counts (no second scan of the input DAG).
-        tagged = df.withColumn("_part_id", F.spark_partition_id())
+        # obsreport "sent" counter captured DURING the write action via
+        # df.observe (obsreport_exporter.go:29-44 — the counter rides
+        # the export itself, never a second scan); per-partition lineage
+        # is tagged in the same pass.
+        from pyspark.sql import Observation
+
+        obs = Observation(f"sent_{sink}_{snapshot_id}")
+        tagged = df.withColumn("_part_id", F.spark_partition_id()).observe(
+            obs, F.count(F.lit(1)).alias("sent")
+        )
         tagged.write.mode("overwrite").parquet(path)
+        observed_sent = int(obs.get["sent"])
 
         written = df.sparkSession.read.parquet(path)
         lineage_aggs = [F.count(F.lit(1)).alias("rows")]
@@ -136,6 +142,11 @@ class Warehouse:
             for r in written.groupBy("_part_id").agg(*lineage_aggs).collect()
         ]
         rows = sum(r["rows"] for r in lineage)
+        if rows != observed_sent:  # commit-time conservation check
+            raise RuntimeError(
+                f"sink {sink!r}: observed {observed_sent} rows during write "
+                f"but lineage sums to {rows} — refusing to commit"
+            )
 
         self._commit(
             {
@@ -144,6 +155,7 @@ class Warehouse:
                 "sink": sink,
                 "path": path,
                 "rows": rows,
+                "observed_sent": observed_sent,
                 "input_fingerprint": input_fingerprint,
                 "lineage": lineage,
                 "committed_at": time.time(),
