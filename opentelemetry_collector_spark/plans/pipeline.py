@@ -290,6 +290,31 @@ def salted_key(key: Column, buckets: int = 16) -> Column:
     return F.concat(key, F.lit("#"), (F.pmod(F.xxhash64(F.col("turn_idx")), buckets)).cast("string"))
 
 
+def salted_two_stage_agg(
+    df: DataFrame,
+    key: str = "conv_id",
+    buckets: int = 16,
+    salt_col: str = "turn_idx",
+) -> DataFrame:
+    """Skew-proof per-key counting: stage 1 groups on (key, salt) so a
+    hot key's rows spread over ``buckets`` reducers; stage 2 merges the
+    per-salt partials. Identical result to ``groupBy(key).count()``,
+    but the worst reducer carries 1/buckets of the hottest key — the
+    explicit salting the north rule requires for conversations with
+    ~100× the median turn count (datagen.conv_sizes), complementing
+    AQE's automatic skew splitting which only covers joins.
+
+    At 10^12 turns: a single viral conversation can exceed an
+    executor's memory in a plain groupBy; the salted partial is
+    bounded by construction."""
+    salt = F.pmod(F.xxhash64(F.col(salt_col)), buckets)
+    partial = (
+        df.groupBy(F.col(key), salt.alias("_salt"))
+        .agg(F.count(F.lit(1)).alias("_partial"))
+    )
+    return partial.groupBy(key).agg(F.sum("_partial").alias("n_turns"))
+
+
 def run_pipeline_fused(
     spark: SparkSession,
     transcripts: DataFrame,

@@ -173,6 +173,59 @@ SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM th_t
 """
 
 
+def q_td_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup pairs (hamming ≤ 3 via 4×8-bit bands,
+    exact recall by pigeonhole)."""
+    from ..trainingdata import simhash_lsh_pairs
+
+    _register(spark, sf_dir, "documents")
+    return simhash_lsh_pairs(spark.table("documents"), max_hamming=3)
+
+
+def _oracle_td_simhash_near_dup() -> str:
+    # brute-force pairwise hamming over the simhash values (banding is
+    # an exact-recall optimization for hamming<=bands-1, so the brute
+    # force is the semantic definition)
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(th, h -> ((h >> {b}) & 1) * 2 - 1)) > 0 "
+        f"THEN CAST({2 ** b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH th_t AS (
+  SELECT doc_id, list_transform({_SQL_TOKS}, t -> {_sql_rolling('t')}) AS th
+  FROM documents
+), sh AS (
+  SELECT doc_id, CAST({bit_terms} AS BIGINT) AS s FROM th_t
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 3
+"""
+
+
+def q_td_salted_conv_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof salted two-stage per-conversation turn counts over
+    the derived transcripts — result identical to a plain groupBy, but
+    no reducer ever sees a whole hot conversation."""
+    from .entry_queries import _derive_transcripts
+    from .pipeline import salted_two_stage_agg
+
+    t = _derive_transcripts(spark, sf_dir)
+    return salted_two_stage_agg(t, buckets=8)
+
+
+def _oracle_td_salted_conv_counts() -> str:
+    from .entry_queries import _TRANSCRIPTS_FROM_EVENTS
+
+    return f"""
+WITH t AS ({_TRANSCRIPTS_FROM_EVENTS})
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns
+FROM t GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (blocked by source)
 # ---------------------------------------------------------------------------
@@ -399,6 +452,8 @@ FROM hist
 TD_QUERIES = {
     "td_minhash_lsh_pairs": q_td_minhash_lsh_pairs,
     "td_simhash": q_td_simhash,
+    "td_simhash_near_dup": q_td_simhash_near_dup,
+    "td_salted_conv_counts": q_td_salted_conv_counts,
     "td_ngram_jaccard": q_td_ngram_jaccard,
     "td_embed_near_dup": q_td_embed_near_dup,
     "td_cosine_topk": q_td_cosine_topk,
@@ -411,6 +466,8 @@ TD_QUERIES = {
 TD_ORACLES = {
     "td_minhash_lsh_pairs": _oracle_td_minhash_lsh_pairs(),
     "td_simhash": _oracle_td_simhash(),
+    "td_simhash_near_dup": _oracle_td_simhash_near_dup(),
+    "td_salted_conv_counts": _oracle_td_salted_conv_counts(),
     "td_ngram_jaccard": _oracle_td_ngram_jaccard(),
     "td_embed_near_dup": _oracle_td_embed_near_dup(),
     "td_cosine_topk": _oracle_td_cosine_topk(),

@@ -27,6 +27,7 @@ from .dedup import (
     lsh_band_keys,
     minhash_lsh_pairs,
     simhash,
+    simhash_lsh_pairs,
     hamming_distance,
     ngram_jaccard_pairs,
     embedding_near_dup_pairs,

@@ -210,6 +210,58 @@ def hamming_distance(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """SimHash near-dup pairs with hamming ≤ max_hamming via banded
+    bit-buckets: the simhash splits into ``bands`` equal bit bands;
+    candidates share ≥1 band verbatim; exact hamming verifies. By
+    pigeonhole, any pair within hamming < bands differs in at most
+    bands−1 bands, so at least one band matches — recall is EXACT for
+    max_hamming ≤ bands−1 (the classic Manku/Jain/Sarma web-dedup
+    layout). The band equi-join is the only shuffle."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banded recall guarantee needs max_hamming <= bands-1 "
+            f"(got {max_hamming} > {bands - 1})"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
+    sh = df.select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh")
+    )
+    band_arr = F.array(
+        *[
+            F.shiftright(F.col("sh"), b * width).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
+    )
+    exploded = sh.select(
+        "id", "sh", F.posexplode(band_arr).alias("band_idx", "band_key")
+    )
+    left = exploded.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band_idx", "band_key"
+    )
+    right = exploded.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band_idx", "band_key"
+    )
+    return (
+        left.join(right, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            hamming_distance(F.col("sh_a"), F.col("sh_b")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard
 # ---------------------------------------------------------------------------

@@ -276,3 +276,65 @@ class TestMultimodal:
         for r in frames:
             assert r["frame_idx"] % 2 == 0
             assert r["frame_bytes"] >= 1
+
+
+class TestSimHashLsh:
+    def test_near_dups_found_with_hamming(self, docs):
+        from opentelemetry_collector_spark.trainingdata import simhash_lsh_pairs
+
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_lsh_pairs(docs, max_hamming=3).collect()
+        }
+        assert pairs.get((0, 2)) == 0  # exact dup
+        assert (0, 3) not in pairs     # unrelated
+
+    def test_pigeonhole_recall_guarantee(self, spark, docs):
+        """Every pair with hamming <= bands-1 MUST be found by the
+        banded join (brute-force cross-check)."""
+        from opentelemetry_collector_spark.trainingdata import simhash_lsh_pairs
+        from opentelemetry_collector_spark.trainingdata.dedup import (
+            hamming_distance, simhash,
+        )
+        from pyspark.sql import functions as F
+
+        sh = docs.select("doc_id", simhash(F.col("text")).alias("sh"))
+        a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
+        b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
+        brute = (
+            a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("h", hamming_distance(F.col("sa"), F.col("sb")))
+            .filter(F.col("h") <= 3)
+        )
+        want = {(r["id_a"], r["id_b"]) for r in brute.collect()}
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_lsh_pairs(docs, max_hamming=3).collect()
+        }
+        assert got == want
+
+    def test_rejects_radius_beyond_guarantee(self, docs):
+        from opentelemetry_collector_spark.trainingdata import simhash_lsh_pairs
+
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="bands-1"):
+            simhash_lsh_pairs(docs, max_hamming=4, bands=4)
+
+
+class TestSaltedAgg:
+    def test_matches_plain_groupby(self, spark, docs):
+        from opentelemetry_collector_spark.plans.pipeline import salted_two_stage_agg
+        from opentelemetry_collector_spark.datagen import make_transcripts_df
+        from pyspark.sql import functions as F
+
+        t = make_transcripts_df(spark, n_convs=30, seed=7)
+        got = {
+            r["conv_id"]: r["n_turns"]
+            for r in salted_two_stage_agg(t, buckets=8).collect()
+        }
+        want = {
+            r["conv_id"]: r["count"]
+            for r in t.groupBy("conv_id").count().collect()
+        }
+        assert got == want
