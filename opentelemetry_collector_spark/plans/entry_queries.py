@@ -568,6 +568,49 @@ GROUP BY 1
 """
 
 
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (gap 10 minutes) per conversation via Spark's
+    built-in session_window — the event-time sessionization the batch
+    processor's timeout trigger approximates, exact in the batch
+    world. Emits one row per (conv, session): start epoch + turn count."""
+    t = _derive_transcripts(spark, sf_dir)
+    return (
+        t.groupBy(F.session_window("ts", "10 minutes"), "conv_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            "conv_id",
+            F.col("session_window.start").cast("timestamp").cast("long").alias(
+                "session_start"
+            ),
+            "n_turns",
+        )
+    )
+
+
+def _oracle_session_windows() -> str:
+    epoch = _DUCK_EPOCH.format(col="ts")
+    return f"""
+WITH t AS ({_TRANSCRIPTS_FROM_EVENTS}),
+g AS (
+  SELECT conv_id, {epoch} AS es,
+         CASE WHEN {epoch} - lag({epoch}) OVER w >= 600 OR
+                   lag({epoch}) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM t
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+), s AS (
+  SELECT conv_id, es,
+         sum(new_session) OVER (PARTITION BY conv_id ORDER BY es
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT conv_id, CAST(min(es) AS BIGINT) AS session_start,
+       CAST(count(*) AS BIGINT) AS n_turns
+FROM s
+GROUP BY conv_id, session_id
+"""
+
+
 def q_topk_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k hottest conversations by turn count (deterministic
     tie-break by conv_id) — TakeOrderedAndProject, no full sort."""
@@ -828,6 +871,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_survivors": q_dedup_survivors,
     "curation_pipeline": q_curation_pipeline,
     "turn_gaps": q_turn_gaps,
+    "session_windows": q_session_windows,
     "topk_conversations": q_topk_conversations,
     "token_count_by_lang": q_token_count_by_lang,
     "metrics_temporality": q_metrics_temporality,
@@ -853,6 +897,7 @@ ORACLES: dict[str, str] = {
     "dedup_survivors": _oracle_dedup_survivors(),
     "curation_pipeline": _oracle_curation_pipeline(),
     "turn_gaps": _oracle_turn_gaps(),
+    "session_windows": _oracle_session_windows(),
     "topk_conversations": _oracle_topk_conversations(),
     "token_count_by_lang": _oracle_token_count_by_lang(),
     "metrics_temporality": _oracle_metrics_temporality(),
