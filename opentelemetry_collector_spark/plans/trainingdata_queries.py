@@ -209,7 +209,7 @@ def q_td_salted_conv_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-proof salted two-stage per-conversation turn counts over
     the derived transcripts — result identical to a plain groupBy, but
     no reducer ever sees a whole hot conversation."""
-    from .entry_queries import _derive_transcripts
+    from .shared_sql import _derive_transcripts
     from .pipeline import salted_two_stage_agg
 
     t = _derive_transcripts(spark, sf_dir)
@@ -217,7 +217,7 @@ def q_td_salted_conv_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_td_salted_conv_counts() -> str:
-    from .entry_queries import _TRANSCRIPTS_FROM_EVENTS
+    from .shared_sql import _TRANSCRIPTS_FROM_EVENTS
 
     return f"""
 WITH t AS ({_TRANSCRIPTS_FROM_EVENTS})
