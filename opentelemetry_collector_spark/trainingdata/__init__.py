@@ -37,6 +37,8 @@ from .similarity import (
     brute_force_topk,
     hyperplane_signature,
     ann_lsh_topk,
+    ivf_train_centroids,
+    ivf_topk,
 )
 from .multimodal import (
     MEDIA_SCHEMA,

@@ -75,6 +75,95 @@ def _py_signature(vec: list[float], planes: list[list[float]]) -> int:
     return value
 
 
+def ivf_train_centroids(
+    df: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    iterations: int = 3,
+    seed: int = 314159,
+) -> list[list[float]]:
+    """IVF coarse quantizer: k-means centroids trained with Lloyd
+    iterations as distributed DataFrame aggregations (assign = argmin
+    distance via one projection; update = per-cluster mean via one
+    groupBy — no driver-side data loops; only k×dim centroids ever
+    leave the cluster). Deterministic: seeded sample init, fixed
+    iteration count, ties broken by centroid index."""
+    import numpy as np
+
+    dim = len(df.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    sample = df.select(vec_col).limit(4 * k).collect()
+    pool = np.array([list(r[0]) for r in sample], dtype=np.float64)
+    centroids = pool[rng.choice(len(pool), size=min(k, len(pool)), replace=False)]
+
+    v = _as_double(vec_col)
+    for _ in range(iterations):
+        assign = _nearest_centroid(v, [list(c) for c in centroids])
+        sums = (
+            df.select(assign.alias("c"), v.alias("v"))
+            .groupBy("c")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.element_at("v", i + 1)).alias(f"s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        new = centroids.copy()
+        for r in sums:
+            if r["n"]:
+                new[r["c"]] = [r[f"s{i}"] / r["n"] for i in range(dim)]
+        centroids = new
+    return [[float(x) for x in c] for c in centroids]
+
+
+def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmin_c ||vec − centroid_c||² as a codegen expression; the
+    squared-distance argmin expands to dot products against literal
+    centroid arrays (ties → lowest index)."""
+    best_idx = F.lit(0)
+    best_d = _sq_dist(vec, centroids[0])
+    for i, c in enumerate(centroids[1:], start=1):
+        d = _sq_dist(vec, c)
+        improved = d < best_d
+        best_idx = F.when(improved, F.lit(i)).otherwise(best_idx)
+        best_d = F.when(improved, d).otherwise(best_d)
+    return best_idx.cast("int")
+
+
+def _sq_dist(vec: Column, centroid: list[float]) -> Column:
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    diff = F.zip_with(vec, c, lambda a, b: (a - b) * (a - b))
+    return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search: score only vectors whose nearest centroid is among
+    the query's ``nprobe`` closest centroids. With the table written
+    partitioned/bucketed by cluster id, the cluster predicate becomes
+    partition pruning — the scan reads nprobe/k of the data."""
+    import numpy as np
+
+    q = np.array(query_vec, dtype=np.float64)
+    dists = [float(((q - np.array(c)) ** 2).sum()) for c in centroids]
+    probes = sorted(np.argsort(dists)[:nprobe].tolist())
+
+    v = _as_double(vec_col)
+    scored = (
+        df.withColumn("_cluster", _nearest_centroid(v, centroids))
+        .filter(F.col("_cluster").isin(*[int(p) for p in probes]))
+        .select(F.col(id_col), cosine_similarity(v, _query_lit(query_vec)).alias("cosine"))
+    )
+    return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
 def ann_lsh_topk(
     df: DataFrame,
     query_vec: list[float],

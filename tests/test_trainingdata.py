@@ -338,3 +338,39 @@ class TestSaltedAgg:
             for r in t.groupBy("conv_id").count().collect()
         }
         assert got == want
+
+
+class TestIvf:
+    def test_centroids_deterministic_and_shaped(self, vectors):
+        from opentelemetry_collector_spark.trainingdata import ivf_train_centroids
+
+        c1 = ivf_train_centroids(vectors, k=4, iterations=2)
+        c2 = ivf_train_centroids(vectors, k=4, iterations=2)
+        assert c1 == c2
+        assert len(c1) == 4 and len(c1[0]) == 8
+
+    def test_ivf_finds_the_near_dup_cluster(self, vectors):
+        from opentelemetry_collector_spark.trainingdata import (
+            ivf_topk, ivf_train_centroids,
+        )
+        from pyspark.sql import functions as F
+
+        centroids = ivf_train_centroids(vectors, k=4, iterations=3)
+        q = [float(x) for x in vectors.filter(F.col("vec_id") == 0).first()["embedding"]]
+        got = ivf_topk(vectors, q, centroids, k=3, nprobe=1).collect()
+        assert got and got[0]["vec_id"] == 0 and got[0]["cosine"] == 1.0
+        # the tight 0/1/2 cluster shares a centroid, so nprobe=1 finds them
+        assert {r["vec_id"] for r in got} == {0, 1, 2}
+
+    def test_nprobe_widens_recall(self, vectors):
+        from opentelemetry_collector_spark.trainingdata import (
+            brute_force_topk, ivf_topk, ivf_train_centroids,
+        )
+        from pyspark.sql import functions as F
+
+        centroids = ivf_train_centroids(vectors, k=4, iterations=3)
+        q = [float(x) for x in vectors.filter(F.col("vec_id") == 5).first()["embedding"]]
+        exact = [r["vec_id"] for r in brute_force_topk(vectors, q, k=5).collect()]
+        wide = {r["vec_id"] for r in ivf_topk(vectors, q, centroids, k=5, nprobe=4).collect()}
+        # probing every cluster == brute force
+        assert wide == set(exact)
