@@ -94,6 +94,7 @@ class Warehouse:
         run_id: str,
         input_fingerprint: str = "",
         lineage_keys: tuple[str, ...] = (),
+        partition_layout: bool = False,
     ) -> SinkResult:
         """Write one sink's DataFrame as a committed snapshot.
 
@@ -125,11 +126,25 @@ class Warehouse:
         # is tagged in the same pass.
         from pyspark.sql import Observation
 
+        tagged = df.withColumn("_part_id", F.spark_partition_id())
+        if partition_layout:
+            # Iceberg-style layout days(ts)/bucket(conv_id): time-range
+            # queries prune by day directory, per-conversation lookups
+            # prune by bucket — the partition-pruning-friendly layout
+            # SURVEY §7 calls out (hive-partitioned parquet here; the
+            # identical spec binds to Iceberg partition transforms on a
+            # real catalog)
+            tagged = tagged.withColumn(
+                "_day", F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd")
+            ).withColumn(
+                "_bucket", F.pmod(F.xxhash64(F.col("conv_id")), F.lit(16)).cast("int")
+            )
         obs = Observation(f"sent_{sink}_{snapshot_id}")
-        tagged = df.withColumn("_part_id", F.spark_partition_id()).observe(
-            obs, F.count(F.lit(1)).alias("sent")
-        )
-        tagged.write.mode("overwrite").parquet(path)
+        tagged = tagged.observe(obs, F.count(F.lit(1)).alias("sent"))
+        writer = tagged.write.mode("overwrite")
+        if partition_layout:
+            writer = writer.partitionBy("_day", "_bucket")
+        writer.parquet(path)
         observed_sent = int(obs.get["sent"])
 
         written = df.sparkSession.read.parquet(path)
@@ -174,7 +189,7 @@ class Warehouse:
                 paths.append(m["path"])
         if not paths:
             raise FileNotFoundError(f"no committed snapshots for sink {sink!r}")
-        return spark.read.parquet(*paths).drop("_part_id")
+        return spark.read.parquet(*paths).drop("_part_id", "_day", "_bucket")
 
     def metrics_table(self, spark: SparkSession) -> DataFrame:
         """obsreport-parity view over the commit log: per-sink sent

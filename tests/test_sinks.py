@@ -106,3 +106,29 @@ class TestRunAndWrite:
         got = wh.read_sink(spark, "errors").select("conv_id", "turn_idx", "text")
         assert got.subtract(expect).count() == 0
         assert expect.subtract(got).count() == 0
+
+
+class TestPartitionedLayout:
+    def test_partitioned_write_prunes_on_read(self, spark, tiny_transcripts, wh):
+        r = wh.write_sink(
+            "part_archive", tiny_transcripts, "run1", partition_layout=True
+        )
+        assert r.rows == tiny_transcripts.count()
+        # directory layout is _day=/...,_bucket=/...
+        import os as _os
+
+        days = [d for d in _os.listdir(r.path) if d.startswith("_day=")]
+        assert days, _os.listdir(r.path)
+        # a day+bucket-filtered read shows PartitionFilters in the scan
+        raw = spark.read.parquet(r.path)
+        one_day = days[0].split("=", 1)[1]
+        q = raw.filter((F.col("_day") == one_day) & (F.col("_bucket") == 3))
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan and "_day" in plan, plan
+
+    def test_partitioned_read_back_round_trips(self, spark, tiny_transcripts, wh):
+        wh.write_sink("part_rt", tiny_transcripts, "run1", partition_layout=True)
+        got = wh.read_sink(spark, "part_rt")
+        key = ["conv_id", "turn_idx", "text"]
+        assert got.select(key).subtract(tiny_transcripts.select(key)).count() == 0
+        assert got.count() == tiny_transcripts.count()
