@@ -3,6 +3,8 @@ variant of the batch pipeline."""
 
 from .pipeline import (
     TRANSCRIPT_SCHEMA,
+    streaming_dedup,
+    streaming_session_counts,
     stream_transcripts,
     streaming_windowed_counts,
     start_routed_stream,
@@ -11,6 +13,8 @@ from .pipeline import (
 
 __all__ = [
     "TRANSCRIPT_SCHEMA",
+    "streaming_dedup",
+    "streaming_session_counts",
     "stream_transcripts",
     "streaming_windowed_counts",
     "start_routed_stream",

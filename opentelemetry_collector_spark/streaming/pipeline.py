@@ -121,6 +121,44 @@ def start_routed_stream(
     return writer.start()
 
 
+def streaming_dedup(
+    source: DataFrame,
+    id_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Exactly-once records over an at-least-once receiver: duplicate
+    deliveries of the same (conv_id, turn_idx) within the watermark
+    horizon are dropped with bounded state
+    (dropDuplicatesWithinWatermark) — the streaming form of the
+    pipeline's exact-dedup, and the receiver-side guarantee the
+    reference delegates to its transport."""
+    return source.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(id_cols)
+    )
+
+
+def streaming_session_counts(
+    source: DataFrame,
+    gap: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time session windows per conversation on the stream —
+    the same sessionization as the batch ``session_windows`` query,
+    with watermark-bounded state."""
+    return (
+        source.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "conv_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            "conv_id",
+            F.col("session_window.start").cast("timestamp").cast("long").alias(
+                "session_start"
+            ),
+            "n_turns",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # stateful batch emitter (send_batch_size semantics)
 # ---------------------------------------------------------------------------

@@ -106,3 +106,62 @@ class TestStreamingPipeline:
             got[r["conv_id"]] = max(got.get(r["conv_id"], 0), r["batch_seq"])
         for conv, n in turns.items():
             assert got.get(conv, 0) == n // 5, conv
+
+
+class TestStreamingDedup:
+    def test_duplicate_deliveries_dropped(self, spark, tiny_transcripts, tmp_path):
+        from opentelemetry_collector_spark.streaming import streaming_dedup
+
+        # the same batch delivered twice (two file copies)
+        d = str(tmp_path / "dups")
+        sel = tiny_transcripts.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        sel.coalesce(1).write.mode("overwrite").parquet(d)
+        sel.coalesce(1).write.mode("append").parquet(d)
+        src = stream_transcripts(spark, d)
+        q = (
+            streaming_dedup(src)
+            .writeStream.format("memory")
+            .queryName("deduped")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+        n_unique = tiny_transcripts.count()
+        assert spark.table("deduped").count() == n_unique
+
+
+class TestStreamingSessions:
+    def test_matches_batch_sessionization(self, spark, tiny_transcripts, source_dir, tmp_path):
+        from opentelemetry_collector_spark.streaming import streaming_session_counts
+
+        src = stream_transcripts(spark, source_dir)
+        q = (
+            streaming_session_counts(src)
+            .writeStream.format("memory")
+            .queryName("sessions")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+        got = {
+            (r["conv_id"], r["session_start"]): r["n_turns"]
+            for r in spark.table("sessions").collect()
+        }
+        want = {
+            (r["conv_id"], r["session_start"]): r["n_turns"]
+            for r in tiny_transcripts.groupBy(
+                F.session_window("ts", "10 minutes"), "conv_id"
+            )
+            .agg(F.count(F.lit(1)).alias("n_turns"))
+            .select(
+                "conv_id",
+                F.col("session_window.start").cast("timestamp").cast("long").alias("session_start"),
+                "n_turns",
+            )
+            .collect()
+        }
+        assert got == want
