@@ -33,6 +33,9 @@ BENCH_QUERIES = [
     "td_simhash",
     "td_cosine_topk",
     "td_media_features",
+    "session_windows",
+    "trace_summaries",
+    "td_salted_conv_counts",
 ]
 
 

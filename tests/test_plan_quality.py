@@ -87,10 +87,12 @@ class TestPlanQuality:
             "cast(turn_idx as long) as doc_id", "text"
         )
         plan = plan_of(minhash_lsh_pairs(docs))
-        # signature/shingle computation must not shuffle; only the
-        # band self-join and the pair dedup may exchange
+        # signature/shingle computation must not shuffle. Exchanges:
+        # light band self-join (≤2) + pair dedup (1) + the two
+        # candidate→shingle joins (≤2) — the heavy shingle arrays move
+        # only for surviving pairs, never through the band join
         n_exchanges = plan.count("Exchange")
-        assert n_exchanges <= 3, f"{n_exchanges} exchanges\n{plan}"
+        assert n_exchanges <= 5, f"{n_exchanges} exchanges\n{plan}"
 
     def test_topk_uses_take_ordered(self, spark, parquet_transcripts):
         q = (
