@@ -536,6 +536,69 @@ GROUP BY 1
 """
 
 
+def q_obsreport_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """obsreport per-stage dispositions (obsreport_receiver.go:30-51,
+    obsreport_processor.go:29-38, obsreport_exporter.go:29-44) for the
+    flagship pipeline: receiver accepted, parse-stage parsed/unparsed
+    (the EXTRACT no-op path), severity enrich, and per-sink sent —
+    one (stage, name, n) row each, unioned in a single plan."""
+    from ..functions.severity import severity_number
+    from .pipeline import PipelineConfig, parse_stage, route_stage
+
+    t = _derive_transcripts(spark, sf_dir)
+    parsed = parse_stage(t, engine="jvm")
+
+    def one(stage: str, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.lit(name).alias("name"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    parts = [
+        one("receiver", "accepted", t),
+        one("processor", "parsed", parsed.filter(F.col("parsed"))),
+        one("processor", "unparsed", parsed.filter(~F.col("parsed"))),
+        one(
+            "processor",
+            "error_severity",
+            parsed.filter(severity_number(F.col("level")) >= 17),
+        ),
+    ]
+    for sink, df in route_stage(parsed, PipelineConfig().routes).items():
+        parts.append(one("exporter", f"sent_{sink}", df))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _oracle_obsreport_counts() -> str:
+    return f"""
+WITH t AS ({_TRANSCRIPTS_FROM_EVENTS}),
+p AS (
+  SELECT *, regexp_matches(text, '\\[(\\w+)\\] (\\w+): (.*?) duration=(\\d+)ms') AS parsed,
+         regexp_extract(text, '\\[(\\w+)\\]', 1) AS level
+  FROM t
+)
+SELECT 'receiver' AS stage, 'accepted' AS name, CAST(count(*) AS BIGINT) AS n FROM t
+UNION ALL
+SELECT 'processor', 'parsed', CAST(count(*) AS BIGINT) FROM p WHERE parsed
+UNION ALL
+SELECT 'processor', 'unparsed', CAST(count(*) AS BIGINT) FROM p WHERE NOT parsed
+UNION ALL
+SELECT 'processor', 'error_severity', CAST(count(*) AS BIGINT) FROM p
+WHERE parsed AND upper(level) IN ('ERROR', 'ERROR2', 'ERROR3', 'ERROR4', 'FATAL', 'FATAL2', 'FATAL3', 'FATAL4')
+UNION ALL
+SELECT 'exporter', 'sent_errors', CAST(count(*) AS BIGINT) FROM p
+WHERE parsed AND level IN ('warn', 'error')
+UNION ALL
+SELECT 'exporter', 'sent_tool_calls', CAST(count(*) AS BIGINT) FROM p WHERE role = 'tool'
+UNION ALL
+SELECT 'exporter', 'sent_archive', CAST(count(*) AS BIGINT) FROM p
+"""
+
+
 def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (gap 10 minutes) per conversation via Spark's
     built-in session_window — the event-time sessionization the batch
@@ -840,6 +903,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_pipeline": q_curation_pipeline,
     "turn_gaps": q_turn_gaps,
     "session_windows": q_session_windows,
+    "obsreport_counts": q_obsreport_counts,
     "topk_conversations": q_topk_conversations,
     "token_count_by_lang": q_token_count_by_lang,
     "metrics_temporality": q_metrics_temporality,
@@ -866,6 +930,7 @@ ORACLES: dict[str, str] = {
     "curation_pipeline": _oracle_curation_pipeline(),
     "turn_gaps": _oracle_turn_gaps(),
     "session_windows": _oracle_session_windows(),
+    "obsreport_counts": _oracle_obsreport_counts(),
     "topk_conversations": _oracle_topk_conversations(),
     "token_count_by_lang": _oracle_token_count_by_lang(),
     "metrics_temporality": _oracle_metrics_temporality(),

@@ -134,3 +134,36 @@ class TestParse:
         }
         assert all(v is None for v in rows[1]["p"].asDict().values())
         assert all(v is None for v in rows[2]["p"].asDict().values())
+
+
+class TestSeverity:
+    def test_round_trip_all_24(self, spark):
+        from opentelemetry_collector_spark.functions.severity import (
+            SEVERITY_NUMBER_TO_TEXT, severity_number, severity_text,
+        )
+
+        rows = [(n,) for n in range(1, 25)]
+        df = spark.createDataFrame(rows, "n int")
+        got = dict(
+            df.select("n", severity_text(F.col("n")).alias("t")).collect()
+        )
+        assert got == SEVERITY_NUMBER_TO_TEXT
+        back = spark.createDataFrame([(t,) for t in got.values()], "t string")
+        got2 = dict(
+            back.select("t", severity_number(F.col("t")).alias("n")).collect()
+        )
+        assert got2 == {t: n for n, t in SEVERITY_NUMBER_TO_TEXT.items()}
+
+    def test_bands_and_unknowns(self, spark):
+        from opentelemetry_collector_spark.functions.severity import (
+            severity_band, severity_number,
+        )
+
+        df = spark.createDataFrame(
+            [("warn",), ("ERROR3",), ("nonsense",)], "t string"
+        )
+        nums = [r[0] for r in df.select(severity_number(F.col("t"))).collect()]
+        assert nums == [13, 19, 0]
+        b = spark.createDataFrame([(13,), (19,), (0,), (25,)], "n int")
+        bands = [r[0] for r in b.select(severity_band(F.col("n"))).collect()]
+        assert bands == ["WARN", "ERROR", None, None]
