@@ -623,19 +623,22 @@ def _oracle_session_windows() -> str:
     return f"""
 WITH t AS ({_TRANSCRIPTS_FROM_EVENTS}),
 g AS (
-  SELECT conv_id, {epoch} AS es,
-         CASE WHEN {epoch} - lag({epoch}) OVER w >= 600 OR
-                   lag({epoch}) OVER w IS NULL
+  -- gap comparison at MICROsecond precision (Spark sessionizes on the
+  -- full timestamp; only the emitted session_start truncates to
+  -- seconds)
+  SELECT conv_id, epoch_us(ts) AS us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 600000000 OR
+                   lag(epoch_us(ts)) OVER w IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM t
   WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
 ), s AS (
-  SELECT conv_id, es,
-         sum(new_session) OVER (PARTITION BY conv_id ORDER BY es
+  SELECT conv_id, us,
+         sum(new_session) OVER (PARTITION BY conv_id ORDER BY us
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM g
 )
-SELECT conv_id, CAST(min(es) AS BIGINT) AS session_start,
+SELECT conv_id, CAST(min(us) // 1000000 AS BIGINT) AS session_start,
        CAST(count(*) AS BIGINT) AS n_turns
 FROM s
 GROUP BY conv_id, session_id
