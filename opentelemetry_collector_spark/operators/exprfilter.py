@@ -55,12 +55,23 @@ def compile_expr(
         pos = m.end()
         toks.append(m)
 
+    def _unquote(raw: str) -> str:
+        # expr-language escapes: only \" \' \\ are escape sequences;
+        # every other backslash (e.g. regex \d) passes through verbatim
+        body = raw[1:-1]
+        quote = raw[0]
+        return body.replace("\\" + quote, quote).replace("\\\\", "\\")
+
+    def _sql_str(value: str) -> str:
+        # re-escape for the Spark SQL literal (its parser also treats
+        # backslash as an escape character)
+        return "'" + value.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     i = 0
     while i < len(toks):
         m = toks[i]
         if m.group("string"):
-            s = m.group("string")
-            out.append("'" + s[1:-1].replace("\\", "").replace("'", "''") + "'")
+            out.append(_sql_str(_unquote(m.group("string"))))
         elif m.group("number"):
             out.append(m.group("number"))
         elif m.group("ident"):
@@ -70,17 +81,17 @@ def compile_expr(
             elif ident in ("Label", "HasLabel"):
                 # expect ( "key" )
                 if (
-                    i + 3 > len(toks)
+                    i + 3 >= len(toks)
                     or toks[i + 1].group("op") != "("
                     or not toks[i + 2].group("string")
                     or toks[i + 3].group("op") != ")"
                 ):
                     raise ValueError(f'{ident} requires a ("key") argument')
-                key = toks[i + 2].group("string")[1:-1].replace("'", "''")
+                key = _sql_str(_unquote(toks[i + 2].group("string")))
                 if ident == "Label":
-                    out.append(f"`{labels_col}`['{key}']")
+                    out.append(f"`{labels_col}`[{key}]")
                 else:
-                    out.append(f"map_contains_key(`{labels_col}`, '{key}')")
+                    out.append(f"map_contains_key(`{labels_col}`, {key})")
                 i += 3
             elif ident == "matches":
                 out.append("RLIKE")  # unanchored, Go MatchString semantics

@@ -46,9 +46,7 @@ from ..trainingdata.dedup import (
 from ..trainingdata.text import HASH_BASE, HASH_MOD, STOPWORDS, LANG_ORDER
 
 
-def _register(spark: SparkSession, sf_dir: str, *names: str) -> None:
-    for name in names:
-        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+from .shared_sql import _register  # noqa: E402
 
 
 # ---------------------------------------------------------------------------

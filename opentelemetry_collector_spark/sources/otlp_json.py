@@ -139,7 +139,14 @@ def logs_to_otlp_json(
     grouped = (
         df.withColumn("_rec", record)
         .groupBy(resource_key)
-        .agg(F.sort_array(F.collect_list(F.struct(F.col("_rec.name"), F.col("_rec")))).alias("_pairs"))
+        .agg(
+            # order records by the NUMERIC turn index — the stable pdata
+            # slice order; sorting by the name string would put turn 10
+            # before turn 2
+            F.sort_array(
+                F.collect_list(F.struct(F.col("turn_idx").alias("_ord"), F.col("_rec")))
+            ).alias("_pairs")
+        )
         .withColumn("_recs", F.transform(F.col("_pairs"), lambda p: p["_rec"]))
     )
     payload = F.struct(

@@ -71,6 +71,8 @@ def exact_dedup_clusters(df: DataFrame, text_col: str = "text", id_col: str = "d
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+_LAST_SIG_CACHE = None  # see minhash_lsh_pairs cache_signatures
+
 def shingles_col(col: Column, k: int = MINHASH_K) -> Column:
     """Distinct k-token shingles; documents shorter than k tokens fall
     back to one whole-text shingle so they still get a signature."""
@@ -160,7 +162,19 @@ def minhash_lsh_pairs(
         .select("id", "sh", lsh_band_keys(F.col("sig")).alias("bands"))
     )
     if cache_signatures:
+        # cache bounded to ONE signature table per process: a new call
+        # releases the previous call's cache (the result DataFrame must
+        # stay lazy, so the caller can't unpersist for us; keeping only
+        # the latest stops repeated invocations from accumulating
+        # executor storage)
+        global _LAST_SIG_CACHE
+        if _LAST_SIG_CACHE is not None:
+            try:
+                _LAST_SIG_CACHE.unpersist(blocking=False)
+            except Exception:
+                pass
         sigs = sigs.persist()
+        _LAST_SIG_CACHE = sigs
     exploded = sigs.select("id", F.posexplode("bands").alias("band_idx", "band_key"))
     left = exploded.select(F.col("id").alias("id_a"), "band_idx", "band_key")
     right = exploded.select(F.col("id").alias("id_b"), "band_idx", "band_key")

@@ -69,3 +69,24 @@ class TestFilterMetrics:
         # Label() on a metric without that label → NULL → not a match
         got = filter_metrics_expr(metrics, 'Label("core") == "0"').collect()
         assert {r["name"] for r in got} == {"cpu.usage"}
+
+
+class TestEscapes:
+    def test_backslash_preserved_in_regex(self, spark):
+        df = spark.createDataFrame(
+            [("cpu1", {}), ("cpud", {})], "name string, labels map<string,string>"
+        )
+        got = df.filter(compile_expr(r'MetricName matches "cpu\d+"')).collect()
+        assert [r["name"] for r in got] == ["cpu1"]
+
+    def test_escaped_quote(self, spark):
+        df = spark.createDataFrame(
+            [('say "hi"', {})], "name string, labels map<string,string>"
+        )
+        assert df.filter(compile_expr(r'MetricName == "say \"hi\""')).count() == 1
+
+    def test_truncated_call_is_config_error(self):
+        with pytest.raises(ValueError, match="requires"):
+            compile_expr('Label("k"')
+        with pytest.raises(ValueError, match="requires"):
+            compile_expr('HasLabel(')

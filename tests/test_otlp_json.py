@@ -51,3 +51,20 @@ class TestOtlpJsonRoundTrip:
             logs_to_otlp_json(tiny_transcripts, library_name="libX")
         )
         assert back.select("library").distinct().collect()[0]["library"] == "libX"
+
+
+class TestRecordOrdering:
+    def test_records_in_numeric_turn_order(self, spark):
+        # turn indexes 0..11 must serialize 0,1,2,...,11 — not the
+        # lexicographic 0,1,10,11,2,...
+        rows = [
+            ("conv-x", i, "user", f"turn {i}", None, "2025-01-01 00:00:%02d" % i)
+            for i in range(12)
+        ]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        line = json.loads(logs_to_otlp_json(df).first()["otlp"])
+        logs = line["resourceLogs"][0]["instrumentationLibraryLogs"][0]["logs"]
+        texts = [r["body"]["stringValue"] for r in logs]
+        assert texts == [f"turn {i}" for i in range(12)]
