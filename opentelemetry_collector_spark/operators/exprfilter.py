@@ -14,6 +14,17 @@ Supported surface (the subset the reference's tests exercise):
   MetricName, Label("k"), HasLabel("k"), string/number literals,
   == != < <= > >=, && || !, and/or/not, matches (regex, unanchored —
   Go RE2 MatchString semantics, like filterset regexp §2.4), ( ).
+
+Env parity notes (matcher.go createEnv):
+  * ``Label(k)`` for a missing label evaluates to "" (the Go map
+    zero value), NOT NULL — compiled as coalesce(labels[k], '') so
+    ``Label("code") != "500"`` matches label-less datapoints exactly
+    like the reference.
+  * ``matches`` executes as Java regex (RLIKE). RE2 and Java agree on
+    the whitelisted subset; Java-only constructs RE2 rejects
+    (backreferences, lookaround, atomic groups, possessive
+    quantifiers) are rejected at compile time as config errors so a
+    pattern can't silently change meaning between engines.
 """
 
 from __future__ import annotations
@@ -38,6 +49,19 @@ _IDENT_SQL = {
     "and": "AND", "or": "OR", "not": "NOT",
     "true": "TRUE", "false": "FALSE", "nil": "NULL",
 }
+
+# Java-regex-only constructs that Go RE2 rejects: lookaround / atomic
+# groups `(?=` `(?!` `(?<=` `(?<!` `(?>`, backreferences `\1`..`\9`,
+# and possessive quantifiers `*+` `++` `?+` `{n}+`.
+_NON_RE2 = re.compile(r"(?<!\\)\(\?[=!<>]|(?<!\\)\\[1-9]|(?<!\\)[*+?}]\+")
+
+
+def _validate_re2_subset(pattern: str) -> None:
+    if _NON_RE2.search(pattern):
+        raise ValueError(
+            f"pattern {pattern!r} uses Java-only regex constructs "
+            "(lookaround/backreference/possessive) outside the RE2 subset"
+        )
 
 
 def compile_expr(
@@ -89,12 +113,19 @@ def compile_expr(
                     raise ValueError(f'{ident} requires a ("key") argument')
                 key = _sql_str(_unquote(toks[i + 2].group("string")))
                 if ident == "Label":
-                    out.append(f"`{labels_col}`[{key}]")
+                    # Go env: missing label reads as the map zero value ""
+                    out.append(f"coalesce(`{labels_col}`[{key}], '')")
                 else:
                     out.append(f"map_contains_key(`{labels_col}`, {key})")
                 i += 3
             elif ident == "matches":
-                out.append("RLIKE")  # unanchored, Go MatchString semantics
+                # unanchored, Go MatchString semantics; RE2 has no
+                # backreferences/lookaround — reject them up front so a
+                # Java-only pattern is a config error, not a silent
+                # semantic divergence
+                if i + 1 < len(toks) and toks[i + 1].group("string"):
+                    _validate_re2_subset(_unquote(toks[i + 1].group("string")))
+                out.append("RLIKE")
             elif ident.lower() in _IDENT_SQL:
                 out.append(_IDENT_SQL[ident.lower()])
             else:

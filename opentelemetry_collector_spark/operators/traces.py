@@ -56,8 +56,11 @@ def transcripts_to_spans(df: DataFrame, duration_col: str = "duration_ms") -> Da
         F.concat_ws("/", F.col("role"), F.coalesce(F.col("tool"), F.lit("-"))).alias("name"),
         kind.alias("kind"),
         F.col("ts").alias("start_ts"),
+        # unix_micros keeps sub-second precision (a double cast through
+        # LONG floors to whole seconds and zeroes sub-1s durations —
+        # the reference translators preserve ns→us exactly)
         F.timestamp_micros(
-            (F.col("ts").cast("timestamp").cast("long") * 1_000_000 + dur_us)
+            F.unix_micros(F.col("ts").cast("timestamp")) + dur_us
         ).alias("end_ts"),
         F.when(F.col("level") == "error", F.lit(2)).otherwise(F.lit(0)).alias("status_code"),
     )
@@ -72,10 +75,13 @@ def trace_summaries(spans: DataFrame) -> DataFrame:
     """Per-trace rollup: span count, root count (no parent), error
     count, wall duration in ms (max end − min start) — the
     trace-level view a tail sampler or trace-quality gate consumes."""
-    dur_ms = (
-        F.max(F.col("end_ts").cast("timestamp").cast("long"))
-        - F.min(F.col("start_ts").cast("timestamp").cast("long"))
-    ) * 1000
+    dur_ms = F.floor(
+        (
+            F.max(F.unix_micros(F.col("end_ts").cast("timestamp")))
+            - F.min(F.unix_micros(F.col("start_ts").cast("timestamp")))
+        )
+        / 1000
+    )
     return spans.groupBy("trace_id").agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(F.when(F.col("parent_span_id").isNull(), 1).otherwise(0)).alias("n_roots"),

@@ -288,7 +288,9 @@ FROM p
 def q_enrich_broadcast_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast-join enrich chain customer → nation → region (the
     resource-processor lookup-enrich analog), aggregated per region.
-    Money sums go through DECIMAL so both engines are order-exact."""
+    Money sums go through DECIMAL so both engines are order-exact; the
+    final column is cast to rounded DOUBLE so both engines emit the
+    identical dtype (the driver's value hash is dtype-sensitive)."""
     _register(spark, sf_dir, "customer", "nation", "region")
     customer = spark.table("customer")
     nation = spark.table("nation")
@@ -299,7 +301,9 @@ def q_enrich_broadcast_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region_name"))
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum(F.col("c_acctbal").cast("decimal(20,4)")).alias("sum_acctbal"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(20,4)")).cast("double"), 6
+            ).alias("sum_acctbal"),
         )
     )
 
@@ -307,7 +311,7 @@ def q_enrich_broadcast_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_enrich_broadcast_region() -> str:
     return """
 SELECT r_name AS region_name, CAST(count(*) AS BIGINT) AS n_customers,
-       CAST(sum(CAST(c_acctbal AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS sum_acctbal
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(20,4))) AS DOUBLE), 6) AS sum_acctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -330,7 +334,9 @@ def q_filter_strict_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("o_totalprice").cast("decimal(20,4)")).alias("sum_price"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(20,4)")).cast("double"), 6
+            ).alias("sum_price"),
         )
     )
 
@@ -338,7 +344,7 @@ def q_filter_strict_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_filter_strict_priority() -> str:
     return """
 SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS sum_price
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE), 6) AS sum_price
 FROM orders
 WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
 GROUP BY 1
@@ -357,7 +363,9 @@ def q_agg_window_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(20,4)")).alias("sum_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(20,4)")).cast("double"), 6
+            ).alias("sum_value"),
         )
     )
 
@@ -367,7 +375,7 @@ def _oracle_agg_window_5min() -> str:
     return f"""
 SELECT CAST(floor({epoch} / 300) * 300 AS BIGINT) AS window_start, event_type,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CAST(value AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS sum_value
+       round(CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE), 6) AS sum_value
 FROM events
 GROUP BY 1, 2
 """
@@ -766,7 +774,6 @@ def q_trace_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_trace_summaries() -> str:
-    epoch = _DUCK_EPOCH.format(col="ts")
     return f"""
 WITH t AS ({_TRANSCRIPTS_FROM_EVENTS}),
 p AS (
@@ -781,10 +788,9 @@ p AS (
 SELECT trace_id, CAST(count(*) AS BIGINT) AS n_spans,
        CAST(sum(CASE WHEN prev_turn IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_roots,
        CAST(sum(CASE WHEN level = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
-       -- Spark's end_ts/start_ts cast to long truncates to whole
-       -- seconds; mirror that exactly, then scale to ms
-       CAST((max(({epoch} * 1000000 + duration_ms * 1000) // 1000000)
-             - min({epoch})) * 1000 AS BIGINT) AS duration_ms
+       -- microsecond-exact, matching the unix_micros span path
+       CAST((max(epoch_us(ts) + duration_ms * 1000)
+             - min(epoch_us(ts))) // 1000 AS BIGINT) AS duration_ms
 FROM p
 GROUP BY 1
 """
@@ -861,9 +867,13 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(20,4)")).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(20,4)")).alias("sum_base_price"),
-            F.sum(disc).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(20,4)")).cast("double"), 6
+            ).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(20,4)")).cast("double"), 6
+            ).alias("sum_base_price"),
+            F.round(F.sum(disc).cast("double"), 6).alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -872,9 +882,9 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_tpch_q1() -> str:
     return """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4)) * (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4)))) AS DECIMAL(38,8)) AS sum_disc_price,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE), 6) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE), 6) AS sum_base_price,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4)) * (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4)))) AS DOUBLE), 6) AS sum_disc_price,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

@@ -60,8 +60,10 @@ def spans_to_jaeger_json(spans: DataFrame, service_name: str = "transcripts") ->
     """Span table → one Jaeger JSON span per line; parent linkage as a
     CHILD_OF reference, kind as the span.kind tag, typed tags for
     turn_idx (int64) and status (int64)."""
-    start_us = F.col("start_ts").cast("timestamp").cast("long") * 1_000_000
-    end_us = F.col("end_ts").cast("timestamp").cast("long") * 1_000_000
+    # unix_micros keeps sub-second precision (reference preserves
+    # ns→us; see zipkin_json.py note)
+    start_us = F.unix_micros(F.col("start_ts").cast("timestamp"))
+    end_us = F.unix_micros(F.col("end_ts").cast("timestamp"))
     trace_hex = F.md5(F.col("trace_id"))
     kind_tag = F.element_at(
         F.map_from_arrays(

@@ -118,7 +118,9 @@ def logs_to_otlp_json(
     (conv_id, otlp json string) — the fileexporter's
     line-per-batch format."""
     record = F.struct(
-        (F.col("ts").cast("timestamp").cast("long") * F.lit(1_000_000_000))
+        # micros × 1000, not seconds × 1e9: timeUnixNano keeps the
+        # full sub-second precision the proto field carries
+        (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1_000))
         .cast("string")
         .alias("timeUnixNano"),
         F.col("role").alias("severityText"),
@@ -200,8 +202,8 @@ def logs_from_otlp_json(df: DataFrame, json_col: str = "otlp") -> DataFrame:
         F.col("r.severityText").alias("role"),
         F.col("r.body.stringValue").alias("text"),
         F.element_at(attrs, "tool").alias("tool"),
-        (F.col("r.timeUnixNano").cast("long") / F.lit(1_000_000_000))
-        .cast("timestamp")
-        .alias("ts"),
+        F.timestamp_micros(
+            F.floor(F.col("r.timeUnixNano").cast("long") / F.lit(1_000)).cast("long")
+        ).alias("ts"),
         F.col("library"),
     )

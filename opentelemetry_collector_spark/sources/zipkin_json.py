@@ -36,8 +36,11 @@ ZIPKIN_SPAN_SCHEMA = T.StructType(
 def spans_to_zipkin_json(spans: DataFrame, service_name: str = "transcripts") -> DataFrame:
     """Span table (operators.traces schema) → one Zipkin v2 JSON line
     per span."""
-    start_us = F.col("start_ts").cast("timestamp").cast("long") * 1_000_000
-    end_us = F.col("end_ts").cast("timestamp").cast("long") * 1_000_000
+    # unix_micros, not cast-through-long: keeps the sub-second
+    # component (the reference preserves ns→us; spans under 1s must
+    # not export duration=0)
+    start_us = F.unix_micros(F.col("start_ts").cast("timestamp"))
+    end_us = F.unix_micros(F.col("end_ts").cast("timestamp"))
     payload = F.struct(
         F.md5(F.col("trace_id")).alias("traceId"),  # zipkin: 32-hex trace id
         F.col("span_id").alias("id"),

@@ -90,14 +90,23 @@ def start_routed_stream(
     available_now: bool = True,
 ):
     """Run the full parse→enrich→route pipeline per micro-batch and
-    commit every routed sink through the Warehouse. Epoch id becomes
-    the run_id, so a retried micro-batch (failure replay) skips sinks
-    it already committed — exactly-once sink delivery on top of
-    at-least-once replay."""
+    commit every routed sink through the Warehouse. The run_id is
+    namespaced by a stable stream identity (sha256 of the checkpoint
+    dir) + epoch id, so a retried micro-batch (failure replay) skips
+    sinks it already committed — exactly-once sink delivery on top of
+    at-least-once replay — while a SECOND stream, or a restart with a
+    fresh checkpoint, gets a different namespace and can never collide
+    with (and silently skip against) another stream's epochs."""
+    import hashlib
+
     from ..plans.pipeline import PipelineConfig, parse_stage, enrich_stage, route_stage
     from .. import datagen
 
     config = config or PipelineConfig()
+    # checkpoint_dir IS the stream's identity: Spark resumes epoch
+    # numbering from it, so (checkpoint, epoch) is globally unique
+    # while staying stable across failure replays of the same epoch.
+    stream_id = hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12]
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         s = batch_df.sparkSession
@@ -107,7 +116,7 @@ def start_routed_stream(
         ).persist()
         try:
             for sink, df in route_stage(enriched, config.routes).items():
-                warehouse.write_sink(sink, df, run_id=f"epoch-{epoch_id}")
+                warehouse.write_sink(sink, df, run_id=f"{stream_id}-epoch-{epoch_id}")
         finally:
             enriched.unpersist()
 

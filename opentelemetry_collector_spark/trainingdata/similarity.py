@@ -54,14 +54,29 @@ def brute_force_topk(
 def hyperplane_signature(vec: Column, planes: list[list[float]] | None = None) -> Column:
     """Random-hyperplane sign signature packed into a long: bit p set
     iff dot(vec, plane_p) > 0. Fixed seeded planes (dedup.HYPERPLANES)
-    make signatures reproducible across runs and engines."""
+    make signatures reproducible across runs and engines.
+
+    A vector longer than the plane dimension is a hard error: zip_with
+    would null-pad and the NULL dot product would silently set every
+    bit to 0, collapsing all such vectors into bucket 0 — fail loudly
+    instead (raise_error inside the expression, so the check is
+    distributed and costs nothing on the happy path)."""
     planes = planes if planes is not None else HYPERPLANES
+    dim = len(planes[0]) if planes else 0
     value = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
         plane_lit = F.slice(F.array(*[F.lit(float(x)) for x in plane]), 1, F.size(vec))
         d = _dot(vec, plane_lit)
         value = value + F.when(d > 0, F.lit(2 ** p).cast("long")).otherwise(F.lit(0))
-    return value
+    return F.when(
+        F.size(vec) > F.lit(dim),
+        F.raise_error(
+            F.concat(
+                F.lit(f"embedding dimension exceeds hyperplane dim {dim}: got "),
+                F.size(vec).cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(value)
 
 
 def _py_signature(vec: list[float], planes: list[list[float]]) -> int:

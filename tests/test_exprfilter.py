@@ -65,10 +65,22 @@ class TestFilterMetrics:
         got = filter_metrics_expr(metrics, 'Label("code") == "500"', action="exclude")
         assert {r["name"] for r in got.collect()} == {"cpu.usage", "mem.usage"}
 
-    def test_null_label_eval_is_not_match(self, metrics):
-        # Label() on a metric without that label → NULL → not a match
+    def test_missing_label_eval_is_not_match(self, metrics):
+        # Label() on a metric without that label → "" (Go map zero
+        # value, matcher.go createEnv) → not equal to "0"
         got = filter_metrics_expr(metrics, 'Label("core") == "0"').collect()
         assert {r["name"] for r in got} == {"cpu.usage"}
+
+    def test_missing_label_reads_as_empty_string(self, metrics):
+        # reference env parity: Label(k) on a label-less datapoint is
+        # "", so != matches rows WITHOUT the label too (a NULL-based
+        # compile would silently drop them)
+        got = filter_metrics_expr(metrics, 'Label("code") != "500"').collect()
+        assert {r["name"] for r in got} == {"http.requests", "cpu.usage", "mem.usage"}
+        got = filter_metrics_expr(metrics, 'Label("core") matches "^$|0"').collect()
+        assert {r["name"] for r in got} == {
+            "http.requests", "cpu.usage", "mem.usage",
+        }
 
 
 class TestEscapes:
@@ -90,3 +102,25 @@ class TestEscapes:
             compile_expr('Label("k"')
         with pytest.raises(ValueError, match="requires"):
             compile_expr('HasLabel(')
+
+
+class TestRE2Subset:
+    def test_java_only_constructs_rejected(self):
+        # RE2 has no lookaround/backreferences/possessive quantifiers;
+        # accepting them silently would diverge from the reference env
+        for pat in (
+            r'MetricName matches "(?=cpu).*"',
+            r'MetricName matches "(?<!mem)usage"',
+            r'MetricName matches "(a)\1"',
+            r'MetricName matches "ab*+"',
+        ):
+            with pytest.raises(ValueError, match="RE2"):
+                compile_expr(pat)
+
+    def test_re2_safe_patterns_accepted(self, spark):
+        df = spark.createDataFrame(
+            [(r"a+b", {})], "name string, labels map<string,string>"
+        )
+        # escaped metachars and named groups are RE2-legal
+        assert df.filter(compile_expr(r'MetricName matches "a\+b"')).count() == 1
+        assert df.filter(compile_expr(r'MetricName matches "(?:a.)b"')).count() == 1

@@ -241,6 +241,20 @@ class TestEmbeddingOps:
         assert ann[0]["vec_id"] == 0
         assert {r["vec_id"] for r in ann} <= {0, 1, 2}
 
+    def test_oversized_vector_raises_not_bucket0(self, spark):
+        # a vector longer than the hyperplane dim must fail loudly,
+        # not silently collapse into bucket 0 via a null dot product
+        from opentelemetry_collector_spark.trainingdata.dedup import EMBED_DIM
+        from opentelemetry_collector_spark.trainingdata.similarity import (
+            hyperplane_signature,
+        )
+
+        bad = spark.createDataFrame(
+            [(1, [0.5] * (EMBED_DIM + 3))], "vec_id int, embedding array<double>"
+        )
+        with pytest.raises(Exception, match="dimension exceeds"):
+            bad.select(hyperplane_signature(F.col("embedding"))).collect()
+
 
 class TestMultimodal:
     def test_media_schema_and_features(self, docs):
