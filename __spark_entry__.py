@@ -4,8 +4,9 @@ entry(spark)  — flagship parse→enrich→route→aggregate pipeline on
                 sf0.001 (smoke: runs, ≥0 rows, stable schema).
 queries()     — one entry per implemented operator from SURVEY.md §2
                 (+ training-data ops), each (spark, sf_dir) → DataFrame.
-oracle_sql()  — matching DuckDB SQL per query (omitted only for the
-                genuinely non-SQL murmur3 sampler keep-set).
+oracle_sql()  — matching DuckDB SQL per query; the murmur3 sampler's
+                keep-set (not SQL-expressible) is materialized as a
+                literal IN-list from the pure-Python reference hash.
 """
 
 from __future__ import annotations
@@ -54,6 +55,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from opentelemetry_collector_spark.plans.entry_queries import ORACLES
+    from opentelemetry_collector_spark.plans.entry_queries import (
+        ORACLES,
+        murmur3_oracle_sql,
+    )
 
-    return dict(ORACLES)
+    out = dict(ORACLES)
+    out["sampler_murmur3"] = murmur3_oracle_sql()
+    return out

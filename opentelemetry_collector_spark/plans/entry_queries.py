@@ -448,8 +448,9 @@ def _oracle_sampler_priority_override() -> str:
 
 def q_sampler_murmur3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-based sampling at 15%/seed 22 over event ids — exact
-    murmur3 keep-set (no SQL oracle: murmur3 is not expressible in
-    DuckDB; parity is pinned by tests/test_sampler.py goldens)."""
+    murmur3 keep-set. The oracle is a literal id-list materialized by
+    ``murmur3_oracle_sql`` from the pure-Python reference hash (itself
+    property-tested against the vectorized kernel)."""
     from ..operators.sampler import ProbabilisticSampler
 
     _register(spark, sf_dir, "events")
@@ -459,6 +460,45 @@ def q_sampler_murmur3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ProbabilisticSampler(15.0, hash_seed=22, id_col="conv_id")(events).select(
         "event_id"
     )
+
+
+def murmur3_oracle_sql(sf_dir: str | None = None) -> str:
+    """Strong oracle for the murmur3 sampler keep-set: murmur3 is not
+    SQL-expressible, so the expected ids are precomputed with the
+    scalar pure-Python reference implementation (functions/mmh3.py:33,
+    itself property-tested against the vectorized kernel) and emitted
+    as a literal IN-list the driver's DuckDB runs against the events
+    view. Reads the same sf dir the comparison runs at
+    (SPARK_GRAFT_SF_DIR, default the driver's sf0.01)."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..functions.mmh3 import (
+        BITMASK_HASH_BUCKETS,
+        PERCENTAGE_SCALE_FACTOR,
+        murmur3_32,
+    )
+
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    ids = (
+        pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
+        .column("event_id")
+        .to_pylist()
+    )
+    scaled = int(15.0 * PERCENTAGE_SCALE_FACTOR)
+    keep = [
+        i
+        for i in ids
+        if (
+            murmur3_32(hashlib.md5(str(i).encode()).digest(), seed=22)
+            & BITMASK_HASH_BUCKETS
+        )
+        < scaled
+    ]
+    vals = ", ".join(str(i) for i in sorted(keep))
+    return f"SELECT event_id FROM events WHERE event_id IN ({vals})"
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -896,6 +936,7 @@ GROUP BY 1, 2
 # registry
 # ---------------------------------------------------------------------------
 
+from .operator_queries import OP_ORACLES, OP_QUERIES  # noqa: E402
 from .trainingdata_queries import TD_ORACLES, TD_QUERIES  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -922,6 +963,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metrics_temporality": q_metrics_temporality,
     "trace_summaries": q_trace_summaries,
     "tpch_q1": q_tpch_q1,
+    **OP_QUERIES,
     **TD_QUERIES,
 }
 
@@ -949,5 +991,6 @@ ORACLES: dict[str, str] = {
     "metrics_temporality": _oracle_metrics_temporality(),
     "trace_summaries": _oracle_trace_summaries(),
     "tpch_q1": _oracle_tpch_q1(),
+    **OP_ORACLES,
     **TD_ORACLES,
 }

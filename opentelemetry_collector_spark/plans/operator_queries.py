@@ -1,0 +1,505 @@
+"""Driver queries + DuckDB oracles for the operator surface that was
+previously verified only by pytest: expr filter, resource processor,
+resource_to_label, metric-name filter, splitTrace, the four span/log
+translators (OTLP, Zipkin, Jaeger, OpenCensus) as round-trip identity
+queries, and the config-compiled pipeline builder.
+
+Round-trip queries encode the strongest invariant a translator has:
+table → wire JSON → table must be the identity on every field
+(testbed/testbed/validator.go:124-404 diffs the same way); the oracle
+computes the expected table directly from events in SQL, so any field
+the translator drops or distorts breaks the value hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .shared_sql import _TRANSCRIPTS_FROM_EVENTS, _derive_transcripts, _register
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------------
+
+# spans derived from transcripts, mirrored in both engines: span_id is
+# the md5-prefix content hash (operators/traces.py:36), parent links by
+# lag, kind by role, status from the parsed level, times in micros.
+_SPANS_SQL = f"""
+WITH t AS ({_TRANSCRIPTS_FROM_EVENTS}),
+sp AS (
+  SELECT conv_id AS trace_id,
+         substr(md5(conv_id || '#' || CAST(turn_idx AS VARCHAR)), 1, 16) AS span_id,
+         lag(substr(md5(conv_id || '#' || CAST(turn_idx AS VARCHAR)), 1, 16))
+             OVER (PARTITION BY conv_id ORDER BY turn_idx) AS parent_span_id,
+         turn_idx,
+         role || '/' || coalesce(tool, '-') AS name,
+         CASE role WHEN 'user' THEN 'SERVER' WHEN 'tool' THEN 'CLIENT'
+                   ELSE 'INTERNAL' END AS kind,
+         CASE WHEN regexp_extract(text, '\\[(\\w+)\\]', 1) = 'error'
+              THEN 2 ELSE 0 END AS status_code,
+         epoch_us(ts) AS start_us,
+         epoch_us(ts) + CASE WHEN regexp_matches(text, 'duration=(\\d+)ms')
+                             THEN CAST(regexp_extract(text, 'duration=(\\d+)ms', 1) AS BIGINT)
+                             ELSE 0 END * 1000 AS end_us
+  FROM t
+)
+"""
+
+_SPAN_COLS = [
+    "trace_id", "span_id", "parent_span_id", "turn_idx",
+    "name", "kind", "status_code",
+]
+
+
+def _span_roundtrip_select(back: DataFrame) -> DataFrame:
+    return back.select(
+        *_SPAN_COLS,
+        F.unix_micros(F.col("start_ts").cast("timestamp")).alias("start_us"),
+        F.unix_micros(F.col("end_ts").cast("timestamp")).alias("end_us"),
+    )
+
+
+_SPAN_ORACLE = (
+    _SPANS_SQL
+    + "SELECT trace_id, span_id, parent_span_id, CAST(turn_idx AS INT) AS turn_idx,"
+    " name, kind, CAST(status_code AS INT) AS status_code, start_us, end_us FROM sp"
+)
+
+
+def _spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.traces import transcripts_to_spans
+    from .pipeline import parse_stage
+
+    t = _derive_transcripts(spark, sf_dir)
+    return transcripts_to_spans(parse_stage(t, engine="jvm"))
+
+
+# ---------------------------------------------------------------------------
+# expr filter (internal/processor/filterexpr/matcher.go:29-62,148-164)
+# ---------------------------------------------------------------------------
+
+
+def q_expr_filter_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter match_type ``expr`` over a datapoint table derived from
+    events: a metric is kept when ANY of its datapoints satisfies
+    ``Label("code") != "500" && HasLabel("bucket")``. Exercises the
+    compile (matcher.go createEnv, incl. the missing-label
+    empty-string default) and the any-datapoint window semantics."""
+    from ..operators.exprfilter import filter_metrics_expr
+
+    _register(spark, sf_dir, "events")
+    events = spark.table("events")
+    dps = events.select(
+        F.concat(F.lit("events."), F.col("event_type")).alias("name"),
+        F.col("event_id"),
+        F.map_filter(
+            F.create_map(
+                F.lit("code"),
+                F.when(F.col("event_type") == "error", F.lit("500")),
+                F.lit("bucket"),
+                F.when(F.col("value") >= 100, (F.col("event_id") % 3).cast("string")),
+            ),
+            lambda _k, v: v.isNotNull(),
+        ).alias("labels"),
+    )
+    kept = filter_metrics_expr(
+        dps, 'Label("code") != "500" && HasLabel("bucket")', action="include"
+    )
+    return kept.groupBy("name").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("sum_id")
+    )
+
+
+def _oracle_expr_filter_metrics() -> str:
+    return """
+WITH dp AS (
+  SELECT 'events.' || event_type AS name, event_id,
+         CASE WHEN event_type = 'error' THEN '500' END AS code,
+         CASE WHEN value >= 100 THEN CAST(event_id % 3 AS VARCHAR) END AS bucket
+  FROM events
+),
+m AS (
+  SELECT name FROM dp GROUP BY name
+  HAVING max(CASE WHEN coalesce(code, '') <> '500' AND bucket IS NOT NULL
+             THEN 1 ELSE 0 END) = 1
+)
+SELECT dp.name, CAST(count(*) AS BIGINT) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id
+FROM dp JOIN m USING (name)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# resource processor (processor/resourceprocessor/resource_processor.go:29-61)
+# ---------------------------------------------------------------------------
+
+
+def q_resource_processor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four attribute actions over the resource map: INSERT only
+    fills missing keys, UPDATE only touches present keys, UPSERT is
+    unconditional, DELETE removes — verified by the final map shape
+    per event_type."""
+    from ..operators.attributes import Action
+    from ..operators.span import ResourceProcessor
+
+    _register(spark, sf_dir, "events")
+    events = spark.table("events")
+    seeded = events.select(
+        "event_type",
+        F.map_filter(
+            F.create_map(
+                F.lit("env"),
+                F.when(F.col("event_type") == "click", F.lit("prod")),
+                F.lit("ver"), F.lit("1"),
+                F.lit("tmp"),
+                F.when(F.col("event_type") == "error", F.lit("x")),
+            ),
+            lambda _k, v: v.isNotNull(),
+        ).alias("resource_attrs"),
+    )
+    proc = ResourceProcessor(
+        [
+            Action("env", "insert", value="dev"),
+            Action("ver", "update", value="2"),
+            Action("svc", "upsert", value="api"),
+            Action("tmp", "delete"),
+        ]
+    )
+    out = proc(seeded)
+    m = F.col("resource_attrs")
+    return out.groupBy(
+        F.element_at(m, "env").alias("env"),
+        F.element_at(m, "ver").alias("ver"),
+        F.element_at(m, "svc").alias("svc"),
+        F.map_contains_key(m, F.lit("tmp")).alias("has_tmp"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def _oracle_resource_processor() -> str:
+    return """
+SELECT CASE WHEN event_type = 'click' THEN 'prod' ELSE 'dev' END AS env,
+       '2' AS ver, 'api' AS svc, FALSE AS has_tmp,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# resource_to_label (exporter/exporterhelper/resource_to_label.go:36-55)
+# ---------------------------------------------------------------------------
+
+
+def q_resource_to_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource attrs copied into datapoint labels with the
+    datapoint's own label winning on collision."""
+    from ..operators.metrics import resource_to_label
+
+    _register(spark, sf_dir, "events")
+    events = spark.table("events")
+    dps = events.select(
+        F.concat(F.lit("events."), F.col("event_type")).alias("name"),
+        F.map_filter(
+            F.create_map(
+                F.lit("k"), F.when(F.col("event_id") % 2 == 0, F.lit("dp"))
+            ),
+            lambda _k, v: v.isNotNull(),
+        ).alias("labels"),
+        F.create_map(
+            F.lit("k"), F.lit("res"), F.lit("region"), F.lit("eu")
+        ).alias("resource_attrs"),
+    )
+    out = resource_to_label(dps)
+    return out.groupBy(
+        "name",
+        F.element_at(F.col("labels"), "k").alias("k"),
+        F.element_at(F.col("labels"), "region").alias("region"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def _oracle_resource_to_label() -> str:
+    return """
+SELECT 'events.' || event_type AS name,
+       CASE WHEN event_id % 2 = 0 THEN 'dp' ELSE 'res' END AS k,
+       'eu' AS region, CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# metric filterprocessor (processor/filterprocessor/filter_processor.go:90-113)
+# ---------------------------------------------------------------------------
+
+
+def q_metric_filter_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed strict-exclude then regexp-include over metric names
+    (both filterset flavors, §2.4)."""
+    from ..operators.metrics import filter_metric_names
+
+    _register(spark, sf_dir, "events")
+    events = spark.table("events")
+    dps = events.select(
+        F.concat(F.lit("events."), F.col("event_type")).alias("name"), "event_id"
+    )
+    step1 = filter_metric_names(
+        dps, ["events.click", "events.view"], "strict", action="exclude"
+    )
+    step2 = filter_metric_names(
+        step1, [r"events\.(error|signup|purchase)"], "regexp", action="include"
+    )
+    return step2.groupBy("name").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("sum_id")
+    )
+
+
+def _oracle_metric_filter_names() -> str:
+    return """
+SELECT 'events.' || event_type AS name, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(event_id) AS BIGINT) AS sum_id
+FROM events
+WHERE 'events.' || event_type NOT IN ('events.click', 'events.view')
+  AND regexp_matches('events.' || event_type, 'events\\.(error|signup|purchase)')
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# splitTrace (processor/batchprocessor/splittraces.go:22-65)
+# ---------------------------------------------------------------------------
+
+
+def q_split_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """send_batch_max_size splitting: stable turn order chunked into
+    batches of ≤7 per conversation; per-batch_id histogram pins both
+    the chunk boundaries and the ordering."""
+    from ..operators.batch import split_batches
+
+    t = _derive_transcripts(spark, sf_dir)
+    sp = split_batches(t, ["conv_id"], ["turn_idx"], 7)
+    return sp.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("conv_id").alias("n_convs"),
+        F.sum("turn_idx").alias("sum_turns"),
+    )
+
+
+def _oracle_split_batches() -> str:
+    return f"""
+WITH t AS ({_TRANSCRIPTS_FROM_EVENTS}),
+b AS (
+  SELECT conv_id, turn_idx,
+         (row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1) // 7
+           AS batch_id
+  FROM t
+)
+SELECT CAST(batch_id AS BIGINT) AS batch_id, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(sum(turn_idx) AS BIGINT) AS sum_turns
+FROM b
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# translator round trips (OTLP / Zipkin / Jaeger / OpenCensus)
+# ---------------------------------------------------------------------------
+
+
+def q_otlp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fileexporter → otlpreceiver identity: transcripts → OTLP
+    protobuf-JSON (resourceLogs tree) → back to flat records; every
+    field including per-turn text and microsecond ts must survive."""
+    from ..sources.otlp_json import logs_from_otlp_json, logs_to_otlp_json
+
+    t = _derive_transcripts(spark, sf_dir)
+    back = logs_from_otlp_json(logs_to_otlp_json(t))
+    return back.select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+
+
+def _oracle_otlp_roundtrip() -> str:
+    return f"""
+WITH t AS ({_TRANSCRIPTS_FROM_EVENTS})
+SELECT conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us FROM t
+"""
+
+
+def q_zipkin_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipkin v2 JSON identity on the span table (translator/trace/
+    zipkin): kind drops to absence for INTERNAL and restores, status
+    rides otel.status_code, micros timestamp+duration."""
+    from ..sources.zipkin_json import spans_to_zipkin_json, zipkin_json_to_spans
+
+    return _span_roundtrip_select(
+        zipkin_json_to_spans(spans_to_zipkin_json(_spans(spark, sf_dir)))
+    )
+
+
+def q_jaeger_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaeger JSON identity on the span table (translator/trace/
+    jaeger): typed tags coerce back, CHILD_OF restores the parent,
+    span.kind tag restores the kind."""
+    from ..sources.jaeger_json import jaeger_json_to_spans, spans_to_jaeger_json
+
+    return _span_roundtrip_select(
+        jaeger_json_to_spans(spans_to_jaeger_json(_spans(spark, sf_dir)))
+    )
+
+
+def q_zipkin_v1_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipkin v1 JSON identity on the span table (translator/trace/
+    zipkin/zipkinv1_to_protospan.go): kind as core annotations
+    (cs/cr, sr/ss), status through the census.status_code binary
+    annotation and the status mapper (status_code.go)."""
+    from ..sources.zipkin_v1_json import (
+        spans_to_zipkin_v1_json,
+        zipkin_v1_json_to_spans,
+    )
+
+    return _span_roundtrip_select(
+        zipkin_v1_json_to_spans(spans_to_zipkin_v1_json(_spans(spark, sf_dir)))
+    )
+
+
+def q_oc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenCensus proto-JSON identity on the span table (translator/
+    internaldata/oc_to_traces.go): base64 ids, TruncatableString name,
+    RFC3339 times, span.kind attribute for non-native kinds."""
+    from ..sources.opencensus_json import oc_json_to_spans, spans_to_oc_json
+
+    return _span_roundtrip_select(
+        oc_json_to_spans(spans_to_oc_json(_spans(spark, sf_dir)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# config-compiled pipeline (service/builder/pipelines_builder.go:120-203)
+# ---------------------------------------------------------------------------
+
+
+def q_config_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A declarative spec compiled by ``compile_spec`` must behave
+    exactly like the SQL the oracle states: attributes (upsert+insert)
+    → filter (regexp include + strict exclude) → two routed sinks with
+    per-sink counts and an inserted-attribute count proving the
+    attributes stage ran before the filter."""
+    from .config import compile_spec
+    from .pipeline import parse_stage, route_stage
+
+    t = _derive_transcripts(spark, sf_dir)
+    parsed = parse_stage(t, engine="jvm")
+    with_attrs = parsed.withColumn(
+        "attrs",
+        F.map_filter(
+            F.create_map(
+                F.lit("level"), F.col("level"),
+                F.lit("role"), F.col("role"),
+                F.lit("chan"),
+                F.when(F.col("role") == "tool", F.lit("t")),
+            ),
+            lambda _k, v: v.isNotNull(),
+        ),
+    )
+    spec = {
+        "processors": [
+            {
+                "type": "attributes",
+                "actions": [
+                    {"key": "src", "action": "upsert", "value": "cfg"},
+                    {"key": "chan", "action": "insert", "value": "default"},
+                ],
+            },
+            {
+                "type": "filter",
+                "include": {
+                    "match_type": "regexp",
+                    "attributes": [{"key": "level", "value": "warn|error"}],
+                },
+                "exclude": {
+                    "match_type": "strict",
+                    "attributes": [{"key": "role", "value": "system"}],
+                },
+            },
+        ],
+        "exporters": {"errors": {"include_levels": ["error"]}, "all": {}},
+    }
+    chain, routes = compile_spec(spec)
+    filtered = chain(with_attrs)
+    parts = []
+    for sink, df in route_stage(filtered, routes).items():
+        parts.append(
+            df.agg(
+                F.lit(sink).alias("sink"),
+                F.count(F.lit(1)).alias("sent"),
+                F.sum(
+                    (F.element_at(F.col("attrs"), "chan") == "default").cast("long")
+                ).alias("n_chan_default"),
+                F.sum(
+                    (F.element_at(F.col("attrs"), "src") == "cfg").cast("long")
+                ).alias("n_src_cfg"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _oracle_config_pipeline() -> str:
+    return f"""
+WITH t AS ({_TRANSCRIPTS_FROM_EVENTS}),
+p AS (SELECT *, regexp_extract(text, '\\[(\\w+)\\]', 1) AS level FROM t),
+f AS (
+  SELECT *, CASE WHEN role = 'tool' THEN 't' ELSE 'default' END AS chan
+  FROM p
+  WHERE regexp_matches(level, 'warn|error') AND role <> 'system'
+)
+SELECT 'errors' AS sink, CAST(count(*) AS BIGINT) AS sent,
+       CAST(sum(CASE WHEN chan = 'default' THEN 1 ELSE 0 END) AS BIGINT) AS n_chan_default,
+       CAST(count(*) AS BIGINT) AS n_src_cfg
+FROM f WHERE level = 'error'
+UNION ALL
+SELECT 'all', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN chan = 'default' THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM f
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+OP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "expr_filter_metrics": q_expr_filter_metrics,
+    "resource_processor": q_resource_processor,
+    "resource_to_label": q_resource_to_label,
+    "metric_filter_names": q_metric_filter_names,
+    "split_batches": q_split_batches,
+    "otlp_roundtrip": q_otlp_roundtrip,
+    "zipkin_roundtrip": q_zipkin_roundtrip,
+    "jaeger_roundtrip": q_jaeger_roundtrip,
+    "zipkin_v1_roundtrip": q_zipkin_v1_roundtrip,
+    "oc_roundtrip": q_oc_roundtrip,
+    "config_pipeline": q_config_pipeline,
+}
+
+OP_ORACLES: dict[str, str] = {
+    "expr_filter_metrics": _oracle_expr_filter_metrics(),
+    "resource_processor": _oracle_resource_processor(),
+    "resource_to_label": _oracle_resource_to_label(),
+    "metric_filter_names": _oracle_metric_filter_names(),
+    "split_batches": _oracle_split_batches(),
+    "otlp_roundtrip": _oracle_otlp_roundtrip(),
+    "zipkin_roundtrip": _SPAN_ORACLE,
+    "jaeger_roundtrip": _SPAN_ORACLE,
+    "zipkin_v1_roundtrip": _SPAN_ORACLE,
+    "oc_roundtrip": _SPAN_ORACLE,
+    "config_pipeline": _oracle_config_pipeline(),
+}

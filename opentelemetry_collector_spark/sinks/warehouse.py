@@ -17,10 +17,13 @@ Design (Iceberg-shaped, parquet-backed):
     per-partition lineage. Readers only see committed snapshots; a
     crash mid-write leaves an orphan directory that the next run of
     the same run_id overwrites — never double-counted data;
-  * per-partition lineage (partition id → row count + key range) and
-    obsreport-style sent-counters are captured from ``df.observe``
-    accumulators and ``spark_partition_id()`` during the SAME action
-    as the write — no second scan of the input;
+  * obsreport-style sent-counters are captured from ``df.observe``
+    during the SAME action as the write; per-file lineage (file →
+    row count + key range) is harvested from the written parquet
+    FOOTERS — metadata-only, no second data scan (the manifest-file
+    role Iceberg's own manifests play). A commit requires the footer
+    row total to equal the observed sent count — a lost or truncated
+    file fails the commit instead of under-counting silently;
   * on a real cluster the identical interface binds to Iceberg
     (``writeTo(...).append()`` within its snapshot/commit machinery);
     ``sources.tables.iceberg_available`` gates that path.
@@ -45,6 +48,57 @@ from pyspark.sql import functions as F
 
 def _fingerprint(*parts: str) -> str:
     return hashlib.sha1("\x1f".join(parts).encode()).hexdigest()[:16]
+
+
+def _json_safe(v):
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return v
+
+
+def _footer_lineage(path: str, lineage_keys: tuple[str, ...]) -> list[dict]:
+    """Per-file lineage from parquet footer metadata: row count plus
+    min/max of each lineage key, read without touching data pages.
+    String min/max may be writer-truncated bounds (parquet permits
+    truncated statistics) — still valid conservative key ranges.
+    O(#files) driver-side metadata reads, exactly the cost profile of
+    an Iceberg manifest scan."""
+    import pyarrow.parquet as pq
+
+    entries = []
+    for dirpath, _dirs, files in os.walk(path):
+        for fn in sorted(files):
+            if not fn.endswith(".parquet"):
+                continue
+            full = os.path.join(dirpath, fn)
+            md = pq.ParquetFile(full).metadata
+            ent: dict = {
+                "file": os.path.relpath(full, path),
+                "rows": md.num_rows,
+            }
+            # leaf-column dotted paths (robust to map/struct columns)
+            col_idx = {
+                md.schema.column(i).path: i for i in range(md.num_columns)
+            }
+            for k in lineage_keys:
+                i = col_idx.get(k)
+                if i is None:
+                    continue
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(i).statistics
+                    if st is None or not st.has_min_max:
+                        mins = []
+                        break
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                if mins:
+                    ent[f"min_{k}"] = _json_safe(min(mins))
+                    ent[f"max_{k}"] = _json_safe(max(maxs))
+            entries.append(ent)
+    return entries
 
 
 @dataclass
@@ -122,11 +176,10 @@ class Warehouse:
 
         # obsreport "sent" counter captured DURING the write action via
         # df.observe (obsreport_exporter.go:29-44 — the counter rides
-        # the export itself, never a second scan); per-partition lineage
-        # is tagged in the same pass.
+        # the export itself, never a second scan).
         from pyspark.sql import Observation
 
-        tagged = df.withColumn("_part_id", F.spark_partition_id())
+        tagged = df
         if partition_layout:
             # Iceberg-style layout days(ts)/bucket(conv_id): time-range
             # queries prune by day directory, per-conversation lookups
@@ -147,15 +200,10 @@ class Warehouse:
         writer.parquet(path)
         observed_sent = int(obs.get["sent"])
 
-        written = df.sparkSession.read.parquet(path)
-        lineage_aggs = [F.count(F.lit(1)).alias("rows")]
-        for k in lineage_keys:
-            lineage_aggs += [F.min(k).alias(f"min_{k}"), F.max(k).alias(f"max_{k}")]
-        lineage = [
-            {k: (v if not hasattr(v, "isoformat") else v.isoformat())
-             for k, v in r.asDict().items()}
-            for r in written.groupBy("_part_id").agg(*lineage_aggs).collect()
-        ]
+        # lineage from parquet footers: metadata-only, no re-scan of
+        # the data just written (at 100 TB a post-write re-read would
+        # double the write path's I/O)
+        lineage = _footer_lineage(path, lineage_keys)
         rows = sum(r["rows"] for r in lineage)
         if rows != observed_sent:  # commit-time conservation check
             raise RuntimeError(
@@ -189,6 +237,7 @@ class Warehouse:
                 paths.append(m["path"])
         if not paths:
             raise FileNotFoundError(f"no committed snapshots for sink {sink!r}")
+        # _part_id survives only in pre-footer-lineage snapshots
         return spark.read.parquet(*paths).drop("_part_id", "_day", "_bucket")
 
     def metrics_table(self, spark: SparkSession) -> DataFrame:

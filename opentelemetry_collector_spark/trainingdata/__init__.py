@@ -31,6 +31,8 @@ from .dedup import (
     hamming_distance,
     ngram_jaccard_pairs,
     embedding_near_dup_pairs,
+    make_hyperplanes,
+    hyperplane_bits_for,
 )
 from .similarity import (
     cosine_similarity,

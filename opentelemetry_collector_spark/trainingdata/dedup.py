@@ -40,12 +40,45 @@ MINHASH_B: list[int] = [int(x) for x in _rng.integers(0, HASH_MOD, MINHASH_H)]
 
 SIMHASH_BITS = 32
 
-N_HYPERPLANES = 8      # 8 sign bits → 256 ANN buckets
+N_HYPERPLANES = 8      # default: 8 sign bits → 256 ANN buckets
 EMBED_DIM = 64
-HYPERPLANES: list[list[float]] = [
-    [round(float(v), 6) for v in row]
-    for row in np.random.default_rng(271828).standard_normal((N_HYPERPLANES, EMBED_DIM))
-]
+_HYPERPLANE_SEED = 271828
+MAX_HYPERPLANES = 48   # signatures pack into a long; stay clear of 63
+
+
+def make_hyperplanes(
+    bits: int, dim: int = EMBED_DIM, seed: int = _HYPERPLANE_SEED
+) -> list[list[float]]:
+    """Seeded hyperplane family, NESTED by construction: the first k
+    rows are identical for every bits >= k (the generator stream fills
+    row-major), so raising ``bits`` only ever SPLITS buckets — a
+    coarser signature's candidate set is a superset of a finer one's,
+    and bucket counts can be tuned per corpus without re-clustering
+    semantics changing shape."""
+    if not 1 <= bits <= MAX_HYPERPLANES:
+        raise ValueError(f"bits must be in [1, {MAX_HYPERPLANES}], got {bits}")
+    return [
+        [round(float(v), 6) for v in row]
+        for row in np.random.default_rng(seed).standard_normal((bits, dim))
+    ]
+
+
+def hyperplane_bits_for(n_vectors: int, target_bucket_size: int = 1000) -> int:
+    """Scale the signature width to the corpus: bits ≈ log2(n/target)
+    keeps the EXPECTED bucket near ``target_bucket_size`` so the
+    within-bucket self-join stays bounded as n grows (at 10^9 vectors
+    and target 1000 → 20 bits / ~1M buckets; a fixed 8 bits would put
+    ~4M vectors in every bucket and the join would explode)."""
+    import math
+
+    if n_vectors <= target_bucket_size:
+        return 1
+    return min(
+        MAX_HYPERPLANES, max(1, math.ceil(math.log2(n_vectors / target_bucket_size)))
+    )
+
+
+HYPERPLANES: list[list[float]] = make_hyperplanes(N_HYPERPLANES)
 
 
 # ---------------------------------------------------------------------------
@@ -130,12 +163,38 @@ def lsh_band_keys(sig: Column, bands: int = MINHASH_BANDS, rows: int = MINHASH_R
     )
 
 
+def _cap_hot_buckets(
+    exploded: DataFrame, limit: int | None, key_cols: tuple[str, str] = ("band_idx", "band_key")
+) -> DataFrame:
+    """Bound a band bucket's contribution to the self-join at ``limit``
+    members (the deterministic ``limit`` lowest ids win). A hot bucket
+    — boilerplate near-identical docs all sharing one band key — makes
+    the self-join quadratic in that bucket; capping makes the worst
+    bucket cost limit² instead of size². Buckets at or under the limit
+    are untouched, so results on a healthy corpus are unchanged; truly
+    giant duplicate clusters should be collapsed by exact-dedup BEFORE
+    LSH (the standard web-dedup pipeline order). The row_number window
+    shuffles on the same key as the join itself, so it adds no new
+    partitioning."""
+    if limit is None:
+        return exploded
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key_cols).orderBy("id")
+    return (
+        exploded.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= limit)
+        .drop("_rk")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     jaccard_threshold: float | None = None,
     cache_signatures: bool = True,
+    hot_bucket_limit: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket
     (id_a < id_b), verified with exact shingle-set Jaccard computed
@@ -175,7 +234,10 @@ def minhash_lsh_pairs(
                 pass
         sigs = sigs.persist()
         _LAST_SIG_CACHE = sigs
-    exploded = sigs.select("id", F.posexplode("bands").alias("band_idx", "band_key"))
+    exploded = _cap_hot_buckets(
+        sigs.select("id", F.posexplode("bands").alias("band_idx", "band_key")),
+        hot_bucket_limit,
+    )
     left = exploded.select(F.col("id").alias("id_a"), "band_idx", "band_key")
     right = exploded.select(F.col("id").alias("id_b"), "band_idx", "band_key")
     pairs = (
@@ -241,6 +303,7 @@ def simhash_lsh_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     bits: int = SIMHASH_BITS,
+    hot_bucket_limit: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs with hamming ≤ max_hamming via banded
     bit-buckets: the simhash splits into ``bands`` equal bit bands;
@@ -265,8 +328,9 @@ def simhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    exploded = sh.select(
-        "id", "sh", F.posexplode(band_arr).alias("band_idx", "band_key")
+    exploded = _cap_hot_buckets(
+        sh.select("id", "sh", F.posexplode(band_arr).alias("band_idx", "band_key")),
+        hot_bucket_limit,
     )
     left = exploded.select(
         F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band_idx", "band_key"
@@ -345,19 +409,33 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.9,
     use_lsh: bool = True,
+    n_bits: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicates: pairs with cosine ≥ threshold.
     use_lsh: candidates = same random-hyperplane sign bucket (the
     scale path — bucket equi-join, cosine only on collisions);
-    otherwise all pairs (verification path)."""
+    otherwise all pairs (verification path).
+
+    ``n_bits`` sizes the signature to the corpus (nested family, see
+    ``make_hyperplanes``): at 10^9 vectors pass
+    ``hyperplane_bits_for(n)`` (~20 bits) so the expected bucket stays
+    ~1000 and the within-bucket join is bounded; the default 8 bits is
+    right only for ≤~10^6 vectors. More bits trade recall for cost —
+    recover recall with a second table (different seed) unioned before
+    the cosine verify."""
     from .similarity import hyperplane_signature
 
+    planes = make_hyperplanes(n_bits) if n_bits is not None else None
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = df.select(
         F.col(id_col).alias("id"),
         v.alias("v"),
         F.sqrt(_dot(v, v)).alias("norm"),
-        *( [hyperplane_signature(v).alias("bucket")] if use_lsh else [] ),
+        *(
+            [hyperplane_signature(v, planes).alias("bucket")]
+            if use_lsh
+            else []
+        ),
     )
     a = base.select(*[F.col(c).alias(c + "_a") for c in base.columns])
     b = base.select(*[F.col(c).alias(c + "_b") for c in base.columns])

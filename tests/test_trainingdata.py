@@ -189,6 +189,42 @@ class TestSimHash:
         assert dists[1] < dists[3]  # near-dup closer than unrelated
 
 
+class TestHotBucketCap:
+    @pytest.fixture(scope="class")
+    def hot_corpus(self, spark):
+        # 120 identical boilerplate docs (every band collides) plus the
+        # normal fixture content
+        rows = [(100 + i, "terms of service apply to all users", "boiler") for i in range(120)]
+        rows += [(d[0], d[1], d[2]) for d in DOCS]
+        return spark.createDataFrame(rows, "doc_id long, text string, source string").cache()
+
+    def test_minhash_cap_bounds_candidates(self, hot_corpus):
+        capped = minhash_lsh_pairs(hot_corpus, hot_bucket_limit=10).collect()
+        boiler = [r for r in capped if r["id_a"] >= 100 and r["id_b"] >= 100]
+        # ≤ C(10,2)=45 pairs from the hot cluster instead of C(120,2)=7140
+        assert 0 < len(boiler) <= 45
+
+    def test_simhash_cap_bounds_candidates(self, hot_corpus):
+        from opentelemetry_collector_spark.trainingdata import simhash_lsh_pairs
+
+        capped = simhash_lsh_pairs(hot_corpus, hot_bucket_limit=10).collect()
+        boiler = [r for r in capped if r["id_a"] >= 100 and r["id_b"] >= 100]
+        assert 0 < len(boiler) <= 45
+
+    def test_cap_leaves_healthy_corpus_unchanged(self, docs):
+        # every bucket in the normal fixture is under the limit, so the
+        # pair set must be identical with and without the cap
+        plain = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in minhash_lsh_pairs(docs).collect()
+        }
+        capped = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in minhash_lsh_pairs(docs, hot_bucket_limit=10).collect()
+        }
+        assert plain == capped
+
+
 class TestNgramJaccard:
     def test_blocked_pairs(self, docs):
         pairs = {
@@ -240,6 +276,36 @@ class TestEmbeddingOps:
         ann = ann_lsh_topk(vectors, q, k=3).collect()
         assert ann[0]["vec_id"] == 0
         assert {r["vec_id"] for r in ann} <= {0, 1, 2}
+
+    def test_hyperplane_family_is_nested(self):
+        from opentelemetry_collector_spark.trainingdata import make_hyperplanes
+
+        p8, p16 = make_hyperplanes(8), make_hyperplanes(16)
+        assert p16[:8] == p8  # raising bits only splits buckets
+
+    def test_hyperplane_bits_scale_with_corpus(self):
+        from opentelemetry_collector_spark.trainingdata import hyperplane_bits_for
+
+        assert hyperplane_bits_for(500, target_bucket_size=1000) == 1
+        assert hyperplane_bits_for(10**9, target_bucket_size=1000) == 20
+        assert hyperplane_bits_for(10**30) <= 48  # capped for long packing
+
+    def test_n_bits_candidates_nest(self, vectors):
+        # nested planes ⇒ finer signatures only split buckets, so the
+        # verified pair set at 16 bits ⊆ the set at 8 bits
+        p8 = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dup_pairs(
+                vectors, threshold=0.9, use_lsh=True, n_bits=8
+            ).collect()
+        }
+        p16 = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dup_pairs(
+                vectors, threshold=0.9, use_lsh=True, n_bits=16
+            ).collect()
+        }
+        assert p16 <= p8
 
     def test_oversized_vector_raises_not_bucket0(self, spark):
         # a vector longer than the hyperplane dim must fail loudly,
