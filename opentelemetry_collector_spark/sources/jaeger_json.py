@@ -53,7 +53,13 @@ JAEGER_SPAN_SCHEMA = T.StructType(
     ]
 )
 
-_KIND_TO_JAEGER = {"SERVER": "server", "CLIENT": "client", "INTERNAL": "internal"}
+_KIND_TO_JAEGER = {
+    "SERVER": "server",
+    "CLIENT": "client",
+    "INTERNAL": "internal",
+    "PRODUCER": "producer",
+    "CONSUMER": "consumer",
+}
 
 
 def spans_to_jaeger_json(spans: DataFrame, service_name: str = "transcripts") -> DataFrame:

@@ -94,6 +94,9 @@ def spans_to_zipkin_v1_json(
             F.col("kind") == "SERVER",
             F.array(ann(start_us, F.lit("sr")), ann(end_us, F.lit("ss"))),
         )
+        # message send/receive are single-sided annotations
+        .when(F.col("kind") == "PRODUCER", F.array(ann(start_us, F.lit("ms"))))
+        .when(F.col("kind") == "CONSUMER", F.array(ann(start_us, F.lit("mr"))))
         .otherwise(
             F.array().cast(ZIPKIN_V1_SPAN_SCHEMA["annotations"].dataType)
         )

@@ -1,0 +1,166 @@
+"""Golden-dataset e2e harness: combinatorial span corpus through every
+translator round trip with full field diffing — the analog of the
+reference's goldendataset + correctness testbed
+(internal/goldendataset/, testbed/correctness/traces/
+correctness_test.go:33-76 seed 161803, testbed/testbed/
+validator.go:124-404 diffs every span field after a source→sink pass).
+
+The corpus is the FULL cartesian product of the dimensions that have
+ever distinguished translator behavior (kind enum coverage incl. the
+span.kind-attribute fallback kinds, status presence/values, root vs
+child linkage, zero / sub-second / multi-second durations, ascii vs
+JSON-hostile unicode names) — 180 spans, exhaustive rather than
+pairwise since the product is small."""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.sources.jaeger_json import (
+    jaeger_json_to_spans,
+    spans_to_jaeger_json,
+)
+from opentelemetry_collector_spark.sources.opencensus_json import (
+    oc_json_to_spans,
+    spans_to_oc_json,
+)
+from opentelemetry_collector_spark.sources.zipkin_json import (
+    spans_to_zipkin_json,
+    zipkin_json_to_spans,
+)
+from opentelemetry_collector_spark.sources.zipkin_v1_json import (
+    spans_to_zipkin_v1_json,
+    zipkin_v1_json_to_spans,
+)
+
+KINDS = ["SERVER", "CLIENT", "INTERNAL", "PRODUCER", "CONSUMER"]
+STATUSES = [0, 2, 5]
+PARENTS = [None, "feedfacecafebeef"]
+DURATIONS_US = [0, 500, 3_000_000]  # zero, sub-second, multi-second
+NAMES = [
+    "plain/span-name",
+    'quote" back\\slash \nnewline ü 日本語 {braces}',
+]
+
+BASE_US = 1_700_000_000_123_456  # non-zero microsecond fraction
+
+
+def golden_rows():
+    rows = []
+    for i, (kind, status, parent, dur, name) in enumerate(
+        itertools.product(KINDS, STATUSES, PARENTS, DURATIONS_US, NAMES)
+    ):
+        start = BASE_US + i * 1_000_003  # distinct, micro-grained starts
+        rows.append(
+            (
+                f"conv-{i % 7}",
+                f"{i:016x}",
+                parent,
+                i,
+                name,
+                kind,
+                start,
+                start + dur,
+                status,
+            )
+        )
+    return rows
+
+
+@pytest.fixture(scope="module")
+def golden(spark):
+    df = spark.createDataFrame(
+        golden_rows(),
+        "trace_id string, span_id string, parent_span_id string, turn_idx int,"
+        " name string, kind string, start_us long, end_us long, status_code int",
+    )
+    return df.select(
+        "trace_id", "span_id", "parent_span_id", "turn_idx", "name", "kind",
+        F.timestamp_micros("start_us").alias("start_ts"),
+        F.timestamp_micros("end_us").alias("end_ts"),
+        "status_code",
+    ).cache()
+
+
+FIELDS = [
+    "trace_id", "span_id", "parent_span_id", "turn_idx",
+    "name", "kind", "status_code",
+]
+
+
+def _canon(df):
+    return df.select(
+        *FIELDS,
+        F.unix_micros(F.col("start_ts").cast("timestamp")).alias("start_us"),
+        F.unix_micros(F.col("end_ts").cast("timestamp")).alias("end_us"),
+    )
+
+
+ROUND_TRIPS = {
+    "zipkin_v2": lambda sp: zipkin_json_to_spans(spans_to_zipkin_json(sp)),
+    "zipkin_v1": lambda sp: zipkin_v1_json_to_spans(spans_to_zipkin_v1_json(sp)),
+    "jaeger": lambda sp: jaeger_json_to_spans(spans_to_jaeger_json(sp)),
+    "opencensus": lambda sp: oc_json_to_spans(spans_to_oc_json(sp)),
+}
+
+
+class TestGoldenRoundTrips:
+    @pytest.mark.parametrize("translator", sorted(ROUND_TRIPS))
+    def test_every_field_survives(self, golden, translator):
+        back = ROUND_TRIPS[translator](golden)
+        want, got = _canon(golden), _canon(back)
+        assert got.count() == want.count()
+        missing = want.subtract(got)
+        extra = got.subtract(want)
+        if missing.count() or extra.count():
+            detail = [r.asDict() for r in missing.limit(3).collect()]
+            detail += [r.asDict() for r in extra.limit(3).collect()]
+            pytest.fail(f"{translator} field diff (sample): {detail}")
+
+    def test_corpus_covers_every_dimension_pair(self, golden):
+        # guard the harness itself: every (kind, status) and
+        # (kind, duration-class) pair must be present
+        rows = golden.select(
+            "kind", "status_code",
+            (
+                F.unix_micros(F.col("end_ts")) - F.unix_micros(F.col("start_ts"))
+            ).alias("dur"),
+        ).collect()
+        pairs_ks = {(r["kind"], r["status_code"]) for r in rows}
+        pairs_kd = {(r["kind"], r["dur"]) for r in rows}
+        assert pairs_ks == set(itertools.product(KINDS, STATUSES))
+        assert pairs_kd == set(itertools.product(KINDS, DURATIONS_US))
+
+
+class TestGoldenLogsRoundTrip:
+    def test_otlp_logs_identity_on_hostile_text(self, spark):
+        from opentelemetry_collector_spark.sources.otlp_json import (
+            logs_from_otlp_json,
+            logs_to_otlp_json,
+        )
+
+        rows = []
+        for i, (role, tool, text) in enumerate(
+            itertools.product(
+                ["user", "assistant", "system", "tool"],
+                [None, "search"],
+                NAMES,
+            )
+        ):
+            rows.append((f"c{i % 3}", i, role, text, tool, BASE_US + i * 7))
+        df = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts_us long",
+        ).select(
+            "conv_id", "turn_idx", "role", "text", "tool",
+            F.timestamp_micros("ts_us").alias("ts"),
+        )
+        back = logs_from_otlp_json(logs_to_otlp_json(df))
+        cols = ["conv_id", "turn_idx", "role", "text", "tool"]
+        canon = lambda d: d.select(  # noqa: E731
+            *cols, F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+        )
+        assert canon(back).subtract(canon(df)).count() == 0
+        assert canon(df).subtract(canon(back)).count() == 0
