@@ -58,19 +58,33 @@ def settle():
     time.sleep(2)
 
 one_pass()  # warmup: codegen, Python worker spawn
-times = []
+passes = []
 for _ in range(7):
     settle()
+    load0 = os.getloadavg()[0]
     t0 = time.time()
     one_pass()
-    times.append(time.time() - t0)
+    passes.append({{"sec": time.time() - t0, "load": round(load0, 2)}})
 # SUSTAINED throughput (the metric is a sustained rate, like the
 # reference's testbed): the first measured passes still carry page
 # reclaim from the previous leg's exited JVM + JIT tail — drop the
-# first 2, median of the steady-state 5.
-steady = times[2:]
-rep = sorted(steady)[len(steady) // 2]
-print(json.dumps({{"cpus": cpus, "rows": n, "sec": rep, "all_sec": times,
+# first 2 (steady-state 5 remain).
+#
+# MECHANICAL co-tenant exclusion rule (shared sandbox host; /proc/
+# loadavg is host-wide): this pinned process legitimately contributes
+# ~cpus to the 1-min load, so a pass whose pre-pass load exceeds
+# cpus + 4 is CONTENDED (>=4 cores of external work) and excluded.
+# rep = median of clean steady passes when >=3 remain, else the
+# steady-state MINIMUM (least-interference estimate) with the
+# fallback flagged.
+steady = passes[2:]
+clean = [p["sec"] for p in steady if p["load"] <= cpus + 4]
+if len(clean) >= 3:
+    rep, estimator = sorted(clean)[len(clean) // 2], "median_clean"
+else:
+    rep, estimator = min(p["sec"] for p in steady), "min_steady"
+print(json.dumps({{"cpus": cpus, "rows": n, "sec": rep, "estimator": estimator,
+                   "passes": passes, "n_clean": len(clean),
                    "turns_per_sec": n / rep}}))
 """
 
@@ -136,20 +150,40 @@ def run_at(cpus: int, path: str) -> dict:
 def main() -> None:
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000
     n_cores = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    n_runs = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     path = ensure_input(n_convs)
 
-    lo = run_at(n_cores, path)
-    time.sleep(20)  # let the kernel reclaim the exited JVM before the next leg
-    hi = run_at(4 * n_cores, path)
-    efficiency = hi["turns_per_sec"] / (4 * lo["turns_per_sec"])
+    runs = []
+    for r in range(n_runs):
+        lo = run_at(n_cores, path)
+        time.sleep(20)  # let the kernel reclaim the exited JVM
+        hi = run_at(4 * n_cores, path)
+        eff = hi["turns_per_sec"] / (4 * lo["turns_per_sec"])
+        runs.append({"low": lo, "high": hi, "scaling_efficiency": round(eff, 3)})
+        print(
+            f"run {r + 1}/{n_runs}: eff={eff:.3f} "
+            f"(lo {lo['sec']:.1f}s {lo['estimator']}, "
+            f"hi {hi['sec']:.1f}s {hi['estimator']})",
+            file=sys.stderr,
+        )
+        if r + 1 < n_runs:
+            time.sleep(20)
 
-    report = {
-        "input_rows": lo["rows"],
-        "low": lo,
-        "high": hi,
-        "scaling_efficiency": round(efficiency, 3),
+    effs = sorted(x["scaling_efficiency"] for x in runs)
+    campaign = {
+        "input_rows": runs[0]["low"]["rows"],
+        "n_runs": n_runs,
+        "efficiencies": effs,
+        "median_efficiency": round(effs[len(effs) // 2], 3),
+        "runs": runs,
     }
-    print(json.dumps(report, indent=2))
+    print(json.dumps(campaign, indent=2))
+    if n_runs > 1:
+        with open(os.path.join(REPO, "BENCH", "campaign.json"), "w") as f:
+            json.dump(campaign, f, indent=1)
+
+    lo, hi = runs[-1]["low"], runs[-1]["high"]
+    efficiency = runs[-1]["scaling_efficiency"]
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = f"""# BENCH/BASELINE — scaling evidence (N vs 4N parallelism)
