@@ -58,6 +58,20 @@ def main() -> None:
         force(QUERIES[name](spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)
 
+    # production-hash MinHash (xxhash64 — the 100 TB path; the suite
+    # keeps the oracle-parity rolling hash so bench == correctness
+    # plan): reported separately, NOT added to the suite total
+    from opentelemetry_collector_spark.sources.tables import read_table
+    from opentelemetry_collector_spark.trainingdata import (
+        minhash_lsh_pairs,
+        production_hash,
+    )
+
+    docs = read_table(spark, SF_DIR, "documents")
+    t0 = time.time()
+    force(minhash_lsh_pairs(docs, hash_fn=production_hash))
+    minhash_xxhash_sec = round(time.time() - t0, 3)
+
     # throughput of the flagship pipeline: turns/sec through
     # parse→enrich→route→aggregate (turns = input transcript rows)
     n_turns = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).count()
@@ -75,6 +89,7 @@ def main() -> None:
                 "cpus": CPUS,
                 "pipeline_turns": n_turns,
                 "pipeline_turns_per_sec": round(n_turns / pipeline_sec, 1),
+                "minhash_xxhash_sec": minhash_xxhash_sec,
             }
         )
     )

@@ -330,6 +330,17 @@ SELECT conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us FROM t
 """
 
 
+def q_otlp_traces_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP resourceSpans tree identity (the trace-signal sibling of
+    the logs path): span table → ExportTraceServiceRequest JSON →
+    back; jsonpb base64 ids, enum-name kinds, nano timestamps."""
+    from ..sources.otlp_json import otlp_json_to_spans, spans_to_otlp_json
+
+    return _span_roundtrip_select(
+        otlp_json_to_spans(spans_to_otlp_json(_spans(spark, sf_dir)))
+    )
+
+
 def q_zipkin_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipkin v2 JSON identity on the span table (translator/trace/
     zipkin): kind drops to absence for INTERNAL and restores, status
@@ -364,6 +375,33 @@ def q_zipkin_v1_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _span_roundtrip_select(
         zipkin_v1_json_to_spans(spans_to_zipkin_v1_json(_spans(spark, sf_dir)))
+    )
+
+
+def q_zipkin_thrift_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipkin v1 THRIFT wire identity (zipkinv1_thrift_to_protospan.go):
+    span table → TBinaryProtocol list<Span> blobs → back. Exercises the
+    pure-Python codec (Arrow-batched) + the shared v1 semantic layer."""
+    from ..sources.zipkin_thrift import (
+        spans_to_zipkin_thrift,
+        zipkin_thrift_to_spans,
+    )
+
+    return _span_roundtrip_select(
+        zipkin_thrift_to_spans(spans_to_zipkin_thrift(_spans(spark, sf_dir)))
+    )
+
+
+def q_jaeger_thrift_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaeger THRIFT Batch wire identity: span table → TBinaryProtocol
+    Batch blobs → back through the shared Jaeger JSON semantics."""
+    from ..sources.jaeger_thrift import (
+        jaeger_thrift_to_spans,
+        spans_to_jaeger_thrift,
+    )
+
+    return _span_roundtrip_select(
+        jaeger_thrift_to_spans(spans_to_jaeger_thrift(_spans(spark, sf_dir)))
     )
 
 
@@ -483,9 +521,12 @@ OP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metric_filter_names": q_metric_filter_names,
     "split_batches": q_split_batches,
     "otlp_roundtrip": q_otlp_roundtrip,
+    "otlp_traces_roundtrip": q_otlp_traces_roundtrip,
     "zipkin_roundtrip": q_zipkin_roundtrip,
     "jaeger_roundtrip": q_jaeger_roundtrip,
     "zipkin_v1_roundtrip": q_zipkin_v1_roundtrip,
+    "zipkin_thrift_roundtrip": q_zipkin_thrift_roundtrip,
+    "jaeger_thrift_roundtrip": q_jaeger_thrift_roundtrip,
     "oc_roundtrip": q_oc_roundtrip,
     "config_pipeline": q_config_pipeline,
 }
@@ -497,9 +538,12 @@ OP_ORACLES: dict[str, str] = {
     "metric_filter_names": _oracle_metric_filter_names(),
     "split_batches": _oracle_split_batches(),
     "otlp_roundtrip": _oracle_otlp_roundtrip(),
+    "otlp_traces_roundtrip": _SPAN_ORACLE,
     "zipkin_roundtrip": _SPAN_ORACLE,
     "jaeger_roundtrip": _SPAN_ORACLE,
     "zipkin_v1_roundtrip": _SPAN_ORACLE,
+    "zipkin_thrift_roundtrip": _SPAN_ORACLE,
+    "jaeger_thrift_roundtrip": _SPAN_ORACLE,
     "oc_roundtrip": _SPAN_ORACLE,
     "config_pipeline": _oracle_config_pipeline(),
 }

@@ -1,5 +1,10 @@
 from .tables import read_table, read_transcripts, TABLES
-from .otlp_json import logs_to_otlp_json, logs_from_otlp_json
+from .otlp_json import (
+    logs_to_otlp_json,
+    logs_from_otlp_json,
+    spans_to_otlp_json,
+    otlp_json_to_spans,
+)
 from .jaeger_json import spans_to_jaeger_json, jaeger_json_to_spans
 from .zipkin_json import spans_to_zipkin_json, zipkin_json_to_spans
 from .zipkin_v1_json import spans_to_zipkin_v1_json, zipkin_v1_json_to_spans
@@ -9,6 +14,8 @@ from .opencensus_json import (
     metrics_to_oc_json,
     oc_json_to_metrics,
 )
+from .zipkin_thrift import spans_to_zipkin_thrift, zipkin_thrift_to_spans
+from .jaeger_thrift import spans_to_jaeger_thrift, jaeger_thrift_to_spans
 
 __all__ = [
     "read_table",
@@ -16,6 +23,8 @@ __all__ = [
     "TABLES",
     "logs_to_otlp_json",
     "logs_from_otlp_json",
+    "spans_to_otlp_json",
+    "otlp_json_to_spans",
     "spans_to_jaeger_json",
     "jaeger_json_to_spans",
     "spans_to_zipkin_json",
@@ -26,4 +35,8 @@ __all__ = [
     "oc_json_to_spans",
     "metrics_to_oc_json",
     "oc_json_to_metrics",
+    "spans_to_zipkin_thrift",
+    "zipkin_thrift_to_spans",
+    "spans_to_jaeger_thrift",
+    "jaeger_thrift_to_spans",
 ]

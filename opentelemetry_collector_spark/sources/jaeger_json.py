@@ -122,10 +122,20 @@ def spans_to_jaeger_json(spans: DataFrame, service_name: str = "transcripts") ->
     return spans.select(F.to_json(payload, {"ignoreNullFields": "true"}).alias("jaeger"))
 
 
+_RESERVED_TAGS = ("span.kind", "conv_id", "turn_idx", "otel.status_code")
+
+
 def jaeger_json_to_spans(df: DataFrame, json_col: str = "jaeger") -> DataFrame:
     """Jaeger JSON lines → span table: typed tags coerce back
-    (int64-typed strings → int), CHILD_OF reference restores the
-    parent, span.kind tag restores the kind."""
+    (int64-typed strings → int, bools canonicalized lowercase — the
+    tag-type coercions of jaegerproto_to_traces.go), CHILD_OF
+    reference restores the parent, span.kind tag restores the kind.
+    Status resolves otel.status_code first, then the HTTP→OC table on
+    http.status_code (setInternalSpanStatus's fallback order); all
+    non-reserved tags land in an ``attrs`` map (last-wins on
+    duplicate keys, Go map semantics)."""
+    from ..functions.status_codes import oc_status_from_http
+
     j = df.select(F.from_json(F.col(json_col), JAEGER_SPAN_SCHEMA).alias("s")).select("s.*")
 
     def tag(key: str):
@@ -134,6 +144,32 @@ def jaeger_json_to_spans(df: DataFrame, json_col: str = "jaeger") -> DataFrame:
 
     kind_back = F.upper(F.coalesce(tag("span.kind"), F.lit("internal")))
     child_of = F.filter(F.col("references"), lambda r: r["refType"] == "CHILD_OF")
+    http_code = tag("http.status_code").try_cast("int")
+    status = F.coalesce(
+        tag("otel.status_code").cast("int"),
+        F.when(http_code.isNotNull(), oc_status_from_http(http_code)),
+        F.lit(0),
+    )
+    coerced = F.transform(
+        F.filter(
+            F.coalesce(F.col("tags"), F.array().cast(_TAG_SCHEMA)),
+            lambda t: ~t["key"].isin(*_RESERVED_TAGS),
+        ),
+        lambda t: F.struct(
+            t["key"].alias("key"),
+            F.when(t["type"] == "bool", F.lower(t["value"]))
+            .otherwise(t["value"])
+            .alias("value"),
+        ),
+    )
+    attrs = F.aggregate(
+        coerced,
+        F.create_map().cast("map<string,string>"),
+        lambda acc, t: F.map_concat(
+            F.map_filter(acc, lambda k, _v: k != t["key"]),
+            F.create_map(t["key"], t["value"]),
+        ),
+    )
     return j.select(
         tag("conv_id").alias("trace_id"),
         F.col("spanID").alias("span_id"),
@@ -145,5 +181,6 @@ def jaeger_json_to_spans(df: DataFrame, json_col: str = "jaeger") -> DataFrame:
         kind_back.alias("kind"),
         F.timestamp_micros(F.col("startTime")).alias("start_ts"),
         F.timestamp_micros(F.col("startTime") + F.col("duration")).alias("end_ts"),
-        F.coalesce(tag("otel.status_code").cast("int"), F.lit(0)).alias("status_code"),
+        status.alias("status_code"),
+        attrs.alias("attrs"),
     )

@@ -12,6 +12,7 @@ instead of O(n^2) cross joins, broadcast query vectors.
 
 from .text import (
     rolling_hash,
+    production_hash,
     tokens_col,
     token_count,
     bpe_ish_token_count,

@@ -120,13 +120,21 @@ def shingles_col(col: Column, k: int = MINHASH_K) -> Column:
     )
 
 
-def minhash_signature_from_shingles(sh: Column, h: int = MINHASH_H) -> Column:
+def minhash_signature_from_shingles(
+    sh: Column, h: int = MINHASH_H, hash_fn=None
+) -> Column:
     """MinHash signature from a shingle array: ONE aggregate pass with
     an h-wide array accumulator — each shingle is hashed once and
     folded into all h minima via zip_with, so the per-char rolling
     hash is never duplicated per hash function (an h-way
     ``array_min(transform(...))`` formulation would inline — and
-    recompute — the shingle hashing h times)."""
+    recompute — the shingle hashing h times).
+
+    ``hash_fn`` (string column → long in [0, HASH_MOD)) defaults to the
+    DuckDB-reproducible rolling hash; pass ``text.production_hash``
+    (xxhash64) at 100 TB — one JVM intrinsic instead of a per-char
+    aggregate, same operator semantics."""
+    hash_fn = hash_fn or rolling_hash
     ab = F.array(
         *[
             F.struct(
@@ -136,7 +144,7 @@ def minhash_signature_from_shingles(sh: Column, h: int = MINHASH_H) -> Column:
         ]
     )
     init = F.array(*[F.lit(HASH_MOD).cast("long")] * h)
-    bases = F.transform(sh, lambda s: rolling_hash(s))  # each shingle hashed once
+    bases = F.transform(sh, lambda s: hash_fn(s))  # each shingle hashed once
     return F.aggregate(
         bases,
         init,
@@ -146,10 +154,12 @@ def minhash_signature_from_shingles(sh: Column, h: int = MINHASH_H) -> Column:
     )
 
 
-def minhash_signature(col: Column, k: int = MINHASH_K, h: int = MINHASH_H) -> Column:
+def minhash_signature(
+    col: Column, k: int = MINHASH_K, h: int = MINHASH_H, hash_fn=None
+) -> Column:
     """MinHash signature of a text column (see
     ``minhash_signature_from_shingles``)."""
-    return minhash_signature_from_shingles(shingles_col(col, k), h)
+    return minhash_signature_from_shingles(shingles_col(col, k), h, hash_fn)
 
 
 def lsh_band_keys(sig: Column, bands: int = MINHASH_BANDS, rows: int = MINHASH_ROWS) -> Column:
@@ -195,6 +205,7 @@ def minhash_lsh_pairs(
     jaccard_threshold: float | None = None,
     cache_signatures: bool = True,
     hot_bucket_limit: int | None = None,
+    hash_fn=None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket
     (id_a < id_b), verified with exact shingle-set Jaccard computed
@@ -217,7 +228,10 @@ def minhash_lsh_pairs(
             F.col(id_col).alias("id"),
             shingles_col(F.col(text_col)).alias("sh"),
         )
-        .select("id", "sh", minhash_signature_from_shingles(F.col("sh")).alias("sig"))
+        .select(
+            "id", "sh",
+            minhash_signature_from_shingles(F.col("sh"), hash_fn=hash_fn).alias("sig"),
+        )
         .select("id", "sh", lsh_band_keys(F.col("sig")).alias("bands"))
     )
     if cache_signatures:
@@ -265,11 +279,13 @@ def minhash_lsh_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
+def simhash(col: Column, bits: int = SIMHASH_BITS, hash_fn=None) -> Column:
     """Frequency-weighted SimHash over token rolling-hashes: bit b is 1
     iff sum over tokens of (+1 if hash bit b set else -1) is > 0.
-    One token-hash array per row, ``bits`` codegen aggregates over it."""
-    th = F.transform(tokens_col(col), lambda t: rolling_hash(t))  # each token hashed once
+    One token-hash array per row, ``bits`` codegen aggregates over it.
+    ``hash_fn``: see ``minhash_signature_from_shingles``."""
+    hash_fn = hash_fn or rolling_hash
+    th = F.transform(tokens_col(col), lambda t: hash_fn(t))  # each token hashed once
     powers = F.array(*[F.lit(2 ** b).cast("long") for b in range(bits)])
     init = F.array(*[F.lit(0).cast("long")] * bits)
     # one pass: fold every token hash into all `bits` vote counters
@@ -304,6 +320,7 @@ def simhash_lsh_pairs(
     bands: int = 4,
     bits: int = SIMHASH_BITS,
     hot_bucket_limit: int | None = None,
+    hash_fn=None,
 ) -> DataFrame:
     """SimHash near-dup pairs with hamming ≤ max_hamming via banded
     bit-buckets: the simhash splits into ``bands`` equal bit bands;
@@ -320,7 +337,8 @@ def simhash_lsh_pairs(
     width = bits // bands
     mask = (1 << width) - 1
     sh = df.select(
-        F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh")
+        F.col(id_col).alias("id"),
+        simhash(F.col(text_col), bits, hash_fn=hash_fn).alias("sh"),
     )
     band_arr = F.array(
         *[

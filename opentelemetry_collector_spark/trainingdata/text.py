@@ -50,6 +50,17 @@ def rolling_hash(col: Column, base: int = HASH_BASE, mod: int = HASH_MOD) -> Col
     )
 
 
+def production_hash(col: Column, mod: int = HASH_MOD) -> Column:
+    """The 100 TB hash path: one JVM ``xxhash64`` intrinsic folded into
+    the same [0, mod) range the rolling hash uses, so every MinHash/
+    SimHash operator accepts it as a drop-in ``hash_fn``. Not
+    DuckDB-reproducible (xxhash64 seed/variant is Spark's), so the
+    driver oracles keep ``rolling_hash``; parity of the OPERATORS under
+    this hash is pinned by tests (same near-dup pairs on the fixture,
+    exact dups always collide)."""
+    return F.pmod(F.xxhash64(col), F.lit(mod))
+
+
 def tokens_col(col: Column) -> Column:
     """Lowercased whitespace tokens (empty-string-safe)."""
     return F.split(F.lower(F.trim(col)), r" +")

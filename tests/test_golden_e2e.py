@@ -97,10 +97,40 @@ def _canon(df):
     )
 
 
+def _zipkin_thrift(sp):
+    from opentelemetry_collector_spark.sources.zipkin_thrift import (
+        spans_to_zipkin_thrift,
+        zipkin_thrift_to_spans,
+    )
+
+    return zipkin_thrift_to_spans(spans_to_zipkin_thrift(sp))
+
+
+def _jaeger_thrift(sp):
+    from opentelemetry_collector_spark.sources.jaeger_thrift import (
+        jaeger_thrift_to_spans,
+        spans_to_jaeger_thrift,
+    )
+
+    return jaeger_thrift_to_spans(spans_to_jaeger_thrift(sp))
+
+
+def _otlp_traces(sp):
+    from opentelemetry_collector_spark.sources.otlp_json import (
+        otlp_json_to_spans,
+        spans_to_otlp_json,
+    )
+
+    return otlp_json_to_spans(spans_to_otlp_json(sp))
+
+
 ROUND_TRIPS = {
+    "otlp_traces": _otlp_traces,
     "zipkin_v2": lambda sp: zipkin_json_to_spans(spans_to_zipkin_json(sp)),
     "zipkin_v1": lambda sp: zipkin_v1_json_to_spans(spans_to_zipkin_v1_json(sp)),
+    "zipkin_thrift": _zipkin_thrift,
     "jaeger": lambda sp: jaeger_json_to_spans(spans_to_jaeger_json(sp)),
+    "jaeger_thrift": _jaeger_thrift,
     "opencensus": lambda sp: oc_json_to_spans(spans_to_oc_json(sp)),
 }
 

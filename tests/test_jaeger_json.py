@@ -42,3 +42,51 @@ class TestJaegerRoundTrip:
             spans_to_jaeger_json(spans.filter(F.col("turn_idx") == 0)).first()["jaeger"]
         )
         assert line.get("references", []) == []
+
+
+class TestTypedTagCoercion:
+    def _parse_one(self, spark, tags, extra=None):
+        span = {
+            "traceID": "a" * 32, "spanID": "b" * 16, "operationName": "op",
+            "startTime": 1_000_000, "duration": 500, "tags": tags,
+        }
+        span.update(extra or {})
+        df = spark.createDataFrame([(json.dumps(span),)], "jaeger string")
+        return jaeger_json_to_spans(df).first()
+
+    def test_bool_normalized_int_passthrough(self, spark):
+        r = self._parse_one(
+            spark,
+            [
+                {"key": "flag", "type": "bool", "value": "True"},
+                {"key": "n", "type": "int64", "value": "42"},
+                {"key": "s", "type": "string", "value": "x"},
+            ],
+        )
+        assert r["attrs"] == {"flag": "true", "n": "42", "s": "x"}
+
+    def test_http_status_fallback_via_table(self, spark):
+        # no otel.status_code → http.status_code maps through HTTP→OC
+        r = self._parse_one(
+            spark, [{"key": "http.status_code", "type": "int64", "value": "404"}]
+        )
+        assert r["status_code"] == 5  # NOT_FOUND
+        # otel.status_code wins when both present
+        r = self._parse_one(
+            spark,
+            [
+                {"key": "otel.status_code", "type": "int64", "value": "2"},
+                {"key": "http.status_code", "type": "int64", "value": "404"},
+            ],
+        )
+        assert r["status_code"] == 2
+
+    def test_duplicate_tag_keys_last_wins(self, spark):
+        r = self._parse_one(
+            spark,
+            [
+                {"key": "k", "type": "string", "value": "first"},
+                {"key": "k", "type": "string", "value": "second"},
+            ],
+        )
+        assert r["attrs"]["k"] == "second"

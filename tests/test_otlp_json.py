@@ -3,6 +3,7 @@ flat records (fileexporter → otlpreceiver pair)."""
 
 import json
 
+import pytest
 from pyspark.sql import functions as F
 
 from opentelemetry_collector_spark.sources.otlp_json import (
@@ -68,3 +69,59 @@ class TestRecordOrdering:
         logs = line["resourceLogs"][0]["instrumentationLibraryLogs"][0]["logs"]
         texts = [r["body"]["stringValue"] for r in logs]
         assert texts == [f"turn {i}" for i in range(12)]
+
+
+class TestOtlpMetricsRoundTrip:
+    @pytest.fixture(scope="class")
+    def datapoints(self, spark):
+        rows = [
+            ("req.count", "IntSum", "CUMULATIVE", {"code": "200"}, "2024-01-01 00:00:01.5", 10, None),
+            ("req.count", "IntSum", "CUMULATIVE", {"code": "200"}, "2024-01-01 00:00:02.5", 25, None),
+            ("clicks", "IntSum", "DELTA", {}, "2024-01-01 00:00:01", 7, None),
+            ("cpu.pct", "DoubleGauge", "UNSPECIFIED", {}, "2024-01-01 00:00:01", None, 0.25),
+            ("mem.used", "IntGauge", "UNSPECIFIED", {"host": "a"}, "2024-01-01 00:00:03", 512, None),
+            ("rate", "DoubleSum", "CUMULATIVE", {}, "2024-01-01 00:00:04", None, 1.5),
+        ]
+        return spark.createDataFrame(
+            rows,
+            "name string, data_type string, temporality string, "
+            "labels map<string,string>, ts_s string, int_value long, double_value double",
+        ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s").cache()
+
+    def test_round_trip_all_union_arms(self, datapoints):
+        from opentelemetry_collector_spark.sources.otlp_json import (
+            metrics_from_otlp_json,
+            metrics_to_otlp_json,
+        )
+
+        back = metrics_from_otlp_json(metrics_to_otlp_json(datapoints))
+        lbl = F.array_sort(F.map_entries(F.col("labels"))).alias("lbl")
+        canon = lambda d: d.select(  # noqa: E731
+            "name", "data_type", "temporality", lbl,
+            F.unix_micros(F.col("ts")).alias("us"), "int_value", "double_value",
+        )
+        assert back.count() == datapoints.count()
+        assert canon(back).subtract(canon(datapoints)).count() == 0
+        assert canon(datapoints).subtract(canon(back)).count() == 0
+
+    def test_union_shape(self, datapoints):
+        from opentelemetry_collector_spark.sources.otlp_json import (
+            metrics_to_otlp_json,
+        )
+
+        lines = {
+            json.loads(r["otlp"])["name"]: json.loads(r["otlp"])
+            for r in metrics_to_otlp_json(datapoints).collect()
+        }
+        req = lines["req.count"]
+        assert "intSum" in req and "doubleSum" not in req
+        assert req["intSum"]["aggregationTemporality"] == (
+            "AGGREGATION_TEMPORALITY_CUMULATIVE"
+        )
+        pts = req["intSum"]["dataPoints"]
+        assert [p["value"] for p in pts] == ["10", "25"]  # ts order, int64-as-string
+        assert pts[0]["labels"] == [{"key": "code", "value": "200"}]
+        assert lines["clicks"]["intSum"]["aggregationTemporality"] == (
+            "AGGREGATION_TEMPORALITY_DELTA"
+        )
+        assert "dataPoints" in lines["cpu.pct"]["doubleGauge"]

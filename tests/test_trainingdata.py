@@ -225,6 +225,46 @@ class TestHotBucketCap:
         assert plain == capped
 
 
+class TestProductionHash:
+    """The xxhash64 production path must be a working code path, not a
+    docstring promise: same operator semantics, different hash."""
+
+    def test_minhash_xxhash_finds_same_near_dups(self, docs):
+        from opentelemetry_collector_spark.trainingdata import production_hash
+
+        pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in minhash_lsh_pairs(
+                docs, jaccard_threshold=0.7, hash_fn=production_hash
+            ).collect()
+        }
+        assert pairs[(0, 2)] == 1.0  # identical docs → identical signatures
+        # verification is exact-set jaccard, so no unrelated pair passes
+        assert all(a < 3 and b < 3 for a, b in pairs)
+
+    def test_simhash_xxhash_exact_dup_hamming0(self, docs):
+        from opentelemetry_collector_spark.trainingdata import (
+            production_hash,
+            simhash_lsh_pairs,
+        )
+
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_lsh_pairs(docs, hash_fn=production_hash).collect()
+        }
+        assert pairs[(0, 2)] == 0
+
+    def test_hash_fn_values_in_range(self, docs):
+        from opentelemetry_collector_spark.trainingdata import production_hash
+        from opentelemetry_collector_spark.trainingdata.text import HASH_MOD
+
+        vals = [
+            r["h"]
+            for r in docs.select(production_hash(F.col("text")).alias("h")).collect()
+        ]
+        assert all(0 <= v < HASH_MOD for v in vals)
+
+
 class TestNgramJaccard:
     def test_blocked_pairs(self, docs):
         pairs = {
