@@ -64,7 +64,11 @@ for _ in range(7):
     load0 = os.getloadavg()[0]
     t0 = time.time()
     one_pass()
-    passes.append({{"sec": time.time() - t0, "load": round(load0, 2)}})
+    # a co-tenant burst can START mid-pass, invisible to the pre-pass
+    # load — sample both ends and judge on the worse one
+    load1 = os.getloadavg()[0]
+    passes.append({{"sec": time.time() - t0,
+                    "load": round(max(load0, load1), 2)}})
 # SUSTAINED throughput (the metric is a sustained rate, like the
 # reference's testbed): the first measured passes still carry page
 # reclaim from the previous leg's exited JVM + JIT tail — drop the
@@ -153,11 +157,21 @@ def main() -> None:
     n_runs = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     path = ensure_input(n_convs)
 
+    def run_with_retry(cpus: int) -> dict:
+        # a transient worker death (socket reset / OOM of one Python
+        # worker) must not kill a multi-run campaign — retry once
+        try:
+            return run_at(cpus, path)
+        except RuntimeError:
+            print(f"leg at {cpus} cpus failed once — retrying", file=sys.stderr)
+            time.sleep(30)
+            return run_at(cpus, path)
+
     runs = []
     for r in range(n_runs):
-        lo = run_at(n_cores, path)
+        lo = run_with_retry(n_cores)
         time.sleep(20)  # let the kernel reclaim the exited JVM
-        hi = run_at(4 * n_cores, path)
+        hi = run_with_retry(4 * n_cores)
         eff = hi["turns_per_sec"] / (4 * lo["turns_per_sec"])
         runs.append({"low": lo, "high": hi, "scaling_efficiency": round(eff, 3)})
         print(
@@ -166,6 +180,8 @@ def main() -> None:
             f"hi {hi['sec']:.1f}s {hi['estimator']})",
             file=sys.stderr,
         )
+        # crash-resilient: full per-pass detail lands on stdout per run
+        print(json.dumps(runs[-1]), flush=True)
         if r + 1 < n_runs:
             time.sleep(20)
 
