@@ -417,6 +417,84 @@ def q_oc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# metric-signal translator round trips (OC / OTLP metric trees)
+# ---------------------------------------------------------------------------
+
+_DP_FROM_EVENTS_SPARK = """
+SELECT 'events.' || event_type AS name,
+       CASE WHEN event_type IN ('click', 'view') THEN 'IntSum' ELSE 'DoubleSum' END AS data_type,
+       CASE WHEN event_type IN ('click', 'view') THEN 'DELTA' ELSE 'CUMULATIVE' END AS temporality,
+       map('m', event_type) AS labels,
+       ts,
+       CASE WHEN event_type IN ('click', 'view')
+            THEN CAST(floor(value) AS BIGINT) END AS int_value,
+       CASE WHEN NOT event_type IN ('click', 'view')
+            THEN CAST(round(value, 6) AS DOUBLE) END AS double_value
+FROM events
+"""
+
+
+def _dp_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, "events")
+    return spark.sql(_DP_FROM_EVENTS_SPARK)
+
+
+def _dp_roundtrip_select(back: DataFrame) -> DataFrame:
+    return back.select(
+        "name", "data_type", "temporality",
+        F.element_at(F.col("labels"), "m").alias("m"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "int_value",
+        F.round(F.col("double_value"), 6).alias("double_value"),
+    )
+
+
+_DP_ORACLE_BASE = """
+SELECT 'events.' || event_type AS name,
+       CASE WHEN event_type IN ('click', 'view') THEN 'IntSum' ELSE 'DoubleSum' END AS data_type,
+       CASE WHEN event_type IN ('click', 'view') THEN 'DELTA' ELSE 'CUMULATIVE' END AS temporality,
+       event_type AS m, epoch_us(ts) AS ts_us,
+       CASE WHEN event_type IN ('click', 'view')
+            THEN CAST(floor(value) AS BIGINT) END AS int_value,
+       CASE WHEN NOT event_type IN ('click', 'view')
+            THEN CAST(round(value, 6) AS DOUBLE) END AS double_value
+FROM events
+"""
+
+
+def q_oc_metrics_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OC metric-tree identity (oc_to_metrics.go / metrics_to_oc.go):
+    datapoint rows → OC timeseries JSON → rows. DELTA has no OC
+    representation and must be DROPPED (not mangled) — the oracle
+    excludes the click/view DELTA rows, so a translator that leaks or
+    distorts them breaks the row count."""
+    from ..sources.opencensus_json import metrics_to_oc_json, oc_json_to_metrics
+
+    dps = _dp_rows(spark, sf_dir)
+    back = oc_json_to_metrics(metrics_to_oc_json(dps, label_keys=["m"]))
+    return _dp_roundtrip_select(back)
+
+
+def _oracle_oc_metrics_roundtrip() -> str:
+    return _DP_ORACLE_BASE + "WHERE event_type NOT IN ('click', 'view')"
+
+
+def q_otlp_metrics_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP tagged-union Metric tree identity: every arm of the v0.17
+    union that the derived table produces (IntSum DELTA, DoubleSum
+    CUMULATIVE) must survive with labels, nanos, and typed values."""
+    from ..sources.otlp_json import metrics_from_otlp_json, metrics_to_otlp_json
+
+    dps = _dp_rows(spark, sf_dir)
+    back = metrics_from_otlp_json(metrics_to_otlp_json(dps))
+    return _dp_roundtrip_select(back)
+
+
+def _oracle_otlp_metrics_roundtrip() -> str:
+    return _DP_ORACLE_BASE
+
+
+# ---------------------------------------------------------------------------
 # config-compiled pipeline (service/builder/pipelines_builder.go:120-203)
 # ---------------------------------------------------------------------------
 
@@ -528,6 +606,8 @@ OP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zipkin_thrift_roundtrip": q_zipkin_thrift_roundtrip,
     "jaeger_thrift_roundtrip": q_jaeger_thrift_roundtrip,
     "oc_roundtrip": q_oc_roundtrip,
+    "oc_metrics_roundtrip": q_oc_metrics_roundtrip,
+    "otlp_metrics_roundtrip": q_otlp_metrics_roundtrip,
     "config_pipeline": q_config_pipeline,
 }
 
@@ -545,5 +625,7 @@ OP_ORACLES: dict[str, str] = {
     "zipkin_thrift_roundtrip": _SPAN_ORACLE,
     "jaeger_thrift_roundtrip": _SPAN_ORACLE,
     "oc_roundtrip": _SPAN_ORACLE,
+    "oc_metrics_roundtrip": _oracle_oc_metrics_roundtrip(),
+    "otlp_metrics_roundtrip": _oracle_otlp_metrics_roundtrip(),
     "config_pipeline": _oracle_config_pipeline(),
 }
