@@ -58,11 +58,16 @@ def main() -> None:
         sys.exit("no run records found")
 
     effs = sorted(r["scaling_efficiency"] for r in runs)
-    lo_min = min(r["low"]["sec"] for r in runs)
-    hi_min = min(
-        min((p["sec"] for p in r["high"].get("passes", [])), default=r["high"]["sec"])
-        for r in runs
-    )
+
+    def leg_min(leg: str) -> float:
+        # symmetric estimator: per-pass minimum across the campaign
+        # for BOTH legs (rep time as fallback for summary-only runs)
+        return min(
+            min((p["sec"] for p in r[leg].get("passes", [])), default=r[leg]["sec"])
+            for r in runs
+        )
+
+    lo_min, hi_min = leg_min("low"), leg_min("high")
     campaign = {
         "n_runs": len(runs),
         "efficiencies": effs,
