@@ -33,6 +33,10 @@ spark = get_spark(app_name=f"scaling_{{cpus}}", cpus=cpus, shuffle_partitions=cp
                       # the parse UDF (default 10k batches are overhead-
                       # bound at high core counts)
                       "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+                      # campaigns have seen sporadic worker socket resets
+                      # (no host OOM evidence); surface the worker-side
+                      # cause if it recurs
+                      "spark.python.worker.faulthandler.enabled": "true",
                   }})
 # explicit hash partitioning on the conversation key (north rule) —
 # also guarantees the parse stage parallelizes regardless of the
