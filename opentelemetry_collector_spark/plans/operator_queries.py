@@ -405,6 +405,47 @@ def q_jaeger_thrift_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jaeger_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaeger PROTOBUF Batch wire identity (jaegerproto_to_traces.go /
+    traces_to_jaegerproto.go): span table → binary model.proto Batch
+    blobs → back through the shared Jaeger JSON semantics. Same funnel
+    as the thrift wire, different codec (functions/proto_binary.py)."""
+    from ..sources.jaeger_proto import (
+        jaeger_proto_to_spans,
+        spans_to_jaeger_proto,
+    )
+
+    return _span_roundtrip_select(
+        jaeger_proto_to_spans(spans_to_jaeger_proto(_spans(spark, sf_dir)))
+    )
+
+
+def q_otlp_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP BINARY protobuf logs wire identity — the encoding a real
+    OTLP gRPC client ships (receiver/otlpreceiver/logs/otlp.go:53-77):
+    transcripts → binary ExportLogsServiceRequest blobs → back to flat
+    records; every field incl. per-turn text and µs ts must survive."""
+    from ..sources.otlp_proto import logs_from_otlp_proto, logs_to_otlp_proto
+
+    t = _derive_transcripts(spark, sf_dir)
+    back = logs_from_otlp_proto(logs_to_otlp_proto(t))
+    return back.select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+
+
+def q_otlp_traces_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP BINARY protobuf trace wire identity: span table → binary
+    ExportTraceServiceRequest blobs → back (bytes ids, varint kinds,
+    fixed64 nanos on the wire; jsonpb layer restores semantics)."""
+    from ..sources.otlp_proto import otlp_proto_to_spans, spans_to_otlp_proto
+
+    return _span_roundtrip_select(
+        otlp_proto_to_spans(spans_to_otlp_proto(_spans(spark, sf_dir)))
+    )
+
+
 def q_oc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OpenCensus proto-JSON identity on the span table (translator/
     internaldata/oc_to_traces.go): base64 ids, TruncatableString name,
@@ -605,6 +646,9 @@ OP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zipkin_v1_roundtrip": q_zipkin_v1_roundtrip,
     "zipkin_thrift_roundtrip": q_zipkin_thrift_roundtrip,
     "jaeger_thrift_roundtrip": q_jaeger_thrift_roundtrip,
+    "jaeger_proto_roundtrip": q_jaeger_proto_roundtrip,
+    "otlp_proto_roundtrip": q_otlp_proto_roundtrip,
+    "otlp_traces_proto_roundtrip": q_otlp_traces_proto_roundtrip,
     "oc_roundtrip": q_oc_roundtrip,
     "oc_metrics_roundtrip": q_oc_metrics_roundtrip,
     "otlp_metrics_roundtrip": q_otlp_metrics_roundtrip,
@@ -624,6 +668,9 @@ OP_ORACLES: dict[str, str] = {
     "zipkin_v1_roundtrip": _SPAN_ORACLE,
     "zipkin_thrift_roundtrip": _SPAN_ORACLE,
     "jaeger_thrift_roundtrip": _SPAN_ORACLE,
+    "jaeger_proto_roundtrip": _SPAN_ORACLE,
+    "otlp_proto_roundtrip": _oracle_otlp_roundtrip(),
+    "otlp_traces_proto_roundtrip": _SPAN_ORACLE,
     "oc_roundtrip": _SPAN_ORACLE,
     "oc_metrics_roundtrip": _oracle_oc_metrics_roundtrip(),
     "otlp_metrics_roundtrip": _oracle_otlp_metrics_roundtrip(),

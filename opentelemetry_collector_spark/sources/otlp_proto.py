@@ -1,0 +1,420 @@
+"""OTLP BINARY protobuf wire format — the encoding every real OTLP
+gRPC client ships and the reference's OTLP receiver decodes
+(receiver/otlpreceiver/logs/otlp.go:53-77, trace/otlp.go; message
+shapes from the vendored v0.17 proto,
+internal/data/opentelemetry-proto-gen/logs/v1/logs.pb.go:158-305 and
+trace/v1/trace.pb.go:193-394).
+
+Decoded blobs are re-emitted as the protobuf-JSON (jsonpb) lines the
+existing ``otlp_json`` layer speaks — base64 bytes ids, uint64-as-
+string nanos, enum names — so the SEMANTIC translation (tree walk,
+attribute maps, kind/status restore) is the one implementation in
+``otlp_json.py``: the same one-semantic-layer / many-wire-formats
+funnel as the thrift pair (sources/jaeger_thrift.py).
+
+Field numbers (from the generated pb.go files above):
+  ExportLogsServiceRequest:  1 resource_logs(rep ResourceLogs)
+  ExportTraceServiceRequest: 1 resource_spans(rep ResourceSpans)
+  ResourceLogs:  1 resource  2 instrumentation_library_logs(rep)
+  ResourceSpans: 1 resource  2 instrumentation_library_spans(rep)
+  Resource:      1 attributes(rep KeyValue) 2 dropped_count(varint)
+  InstrumentationLibraryLogs/Spans: 1 library 2 logs/spans(rep)
+  InstrumentationLibrary: 1 name 2 version
+  KeyValue: 1 key(str) 2 value(AnyValue)
+  AnyValue (oneof): 1 string 2 bool 3 int(varint) 4 double(fixed64)
+  LogRecord: 1 time_unix_nano(fixed64) 2 severity_number(varint)
+             3 severity_text 4 name 5 body(AnyValue)
+             6 attributes(rep KeyValue) 8 flags(fixed32)
+             9 trace_id(bytes) 10 span_id(bytes)
+  Span: 1 trace_id 2 span_id 3 trace_state 4 parent_span_id 5 name
+        6 kind(varint) 7 start_time_unix_nano(fixed64)
+        8 end_time_unix_nano(fixed64) 9 attributes(rep KeyValue)
+        15 status(Status)
+  Status: 2 message 3 code(varint)  [1 deprecated_code skipped]
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..functions.proto_binary import FIXED64, LEN, VARINT, Reader, Writer
+
+_SPAN_KINDS = [
+    "SPAN_KIND_UNSPECIFIED",
+    "SPAN_KIND_INTERNAL",
+    "SPAN_KIND_SERVER",
+    "SPAN_KIND_CLIENT",
+    "SPAN_KIND_PRODUCER",
+    "SPAN_KIND_CONSUMER",
+]
+_KIND_TO_NUM = {name: i for i, name in enumerate(_SPAN_KINDS)}
+
+
+# ---------------------------------------------------------------------------
+# shared sub-messages (common.pb.go:85-381)
+# ---------------------------------------------------------------------------
+
+
+def _read_any_value(r: Reader) -> dict:
+    v: dict = {}
+    for fid, wt in r.fields():
+        if fid == 1 and wt == LEN:
+            v = {"stringValue": r.string()}
+        elif fid == 2 and wt == VARINT:
+            v = {"boolValue": bool(r.varint())}
+        elif fid == 3 and wt == VARINT:
+            v = {"intValue": str(r.int64())}  # jsonpb: int64 as string
+        elif fid == 4 and wt == FIXED64:
+            v = {"doubleValue": r.double()}
+        else:
+            r.skip(wt)
+    return v
+
+
+def _write_any_value(v: dict) -> Writer:
+    w = Writer()
+    # a set proto3 oneof member is emitted even when zero-valued
+    if "stringValue" in v:
+        w.string(1, v["stringValue"], keep_empty=True)
+    elif "boolValue" in v:
+        w.tag(2, VARINT)
+        w.varint(1 if v["boolValue"] else 0)
+    elif "intValue" in v:
+        w.tag(3, VARINT)
+        w.varint(int(v["intValue"]))
+    elif "doubleValue" in v:
+        w.tag(4, FIXED64)
+        w.out += struct.pack("<d", float(v["doubleValue"]))
+    return w
+
+
+def _read_kv(r: Reader) -> dict:
+    kv = {"key": "", "value": {}}
+    for fid, wt in r.fields():
+        if fid == 1 and wt == LEN:
+            kv["key"] = r.string()
+        elif fid == 2 and wt == LEN:
+            kv["value"] = _read_any_value(r.message())
+        else:
+            r.skip(wt)
+    return kv
+
+
+def _write_kv(kv: dict) -> Writer:
+    w = Writer()
+    w.string(1, kv.get("key", ""))
+    w.message(2, _write_any_value(kv.get("value") or {}), keep_empty=True)
+    return w
+
+
+def _read_resource(r: Reader) -> dict:
+    attrs = []
+    for fid, wt in r.fields():
+        if fid == 1 and wt == LEN:
+            attrs.append(_read_kv(r.message()))
+        else:
+            r.skip(wt)
+    return {"attributes": attrs}
+
+
+def _write_resource(res: dict) -> Writer:
+    w = Writer()
+    for kv in res.get("attributes") or []:
+        w.message(1, _write_kv(kv), keep_empty=True)
+    return w
+
+
+def _read_library(r: Reader) -> dict:
+    lib = {}
+    for fid, wt in r.fields():
+        if fid == 1 and wt == LEN:
+            lib["name"] = r.string()
+        else:
+            r.skip(wt)
+    return lib
+
+
+def _write_library(lib: dict) -> Writer:
+    w = Writer()
+    w.string(1, lib.get("name", ""))
+    return w
+
+
+# ---------------------------------------------------------------------------
+# logs signal (logs.pb.go:158-305)
+# ---------------------------------------------------------------------------
+
+
+def _read_log_record(r: Reader) -> dict:
+    rec: dict = {}
+    attrs: list = []
+    for fid, wt in r.fields():
+        if fid == 1 and wt == FIXED64:
+            rec["timeUnixNano"] = str(r.fixed64())
+        elif fid == 3 and wt == LEN:
+            rec["severityText"] = r.string()
+        elif fid == 4 and wt == LEN:
+            rec["name"] = r.string()
+        elif fid == 5 and wt == LEN:
+            rec["body"] = _read_any_value(r.message())
+        elif fid == 6 and wt == LEN:
+            attrs.append(_read_kv(r.message()))
+        else:
+            r.skip(wt)
+    if attrs:
+        rec["attributes"] = attrs
+    return rec
+
+
+def _write_log_record(rec: dict) -> Writer:
+    w = Writer()
+    w.fixed64(1, int(rec.get("timeUnixNano") or 0))
+    w.string(3, rec.get("severityText") or "")
+    w.string(4, rec.get("name") or "")
+    if rec.get("body") is not None:
+        w.message(5, _write_any_value(rec["body"]), keep_empty=True)
+    for kv in rec.get("attributes") or []:
+        w.message(6, _write_kv(kv), keep_empty=True)
+    return w
+
+
+def decode_logs_request(blob: bytes) -> dict:
+    """Binary ExportLogsServiceRequest → jsonpb-shaped dict (the
+    ``OTLP_LOGS_SCHEMA`` tree)."""
+    resource_logs = []
+    r = Reader(blob)
+    for fid, wt in r.fields():
+        if fid == 1 and wt == LEN:
+            rl: dict = {"instrumentationLibraryLogs": []}
+            rl_r = r.message()
+            for rfid, rwt in rl_r.fields():
+                if rfid == 1 and rwt == LEN:
+                    rl["resource"] = _read_resource(rl_r.message())
+                elif rfid == 2 and rwt == LEN:
+                    ill_r = rl_r.message()
+                    ill: dict = {"logs": []}
+                    for ifid, iwt in ill_r.fields():
+                        if ifid == 1 and iwt == LEN:
+                            ill["instrumentationLibrary"] = _read_library(
+                                ill_r.message()
+                            )
+                        elif ifid == 2 and iwt == LEN:
+                            ill["logs"].append(_read_log_record(ill_r.message()))
+                        else:
+                            ill_r.skip(iwt)
+                    rl["instrumentationLibraryLogs"].append(ill)
+                else:
+                    rl_r.skip(rwt)
+            resource_logs.append(rl)
+        else:
+            r.skip(wt)
+    return {"resourceLogs": resource_logs}
+
+
+def encode_logs_request(req: dict) -> bytes:
+    """jsonpb-shaped dict → binary ExportLogsServiceRequest."""
+    w = Writer()
+    for rl in req.get("resourceLogs") or []:
+        rl_w = Writer()
+        if rl.get("resource") is not None:
+            rl_w.message(1, _write_resource(rl["resource"]), keep_empty=True)
+        for ill in rl.get("instrumentationLibraryLogs") or []:
+            ill_w = Writer()
+            if ill.get("instrumentationLibrary") is not None:
+                ill_w.message(
+                    1, _write_library(ill["instrumentationLibrary"]), keep_empty=True
+                )
+            for rec in ill.get("logs") or []:
+                ill_w.message(2, _write_log_record(rec), keep_empty=True)
+            rl_w.message(2, ill_w, keep_empty=True)
+        w.message(1, rl_w, keep_empty=True)
+    return bytes(w.out)
+
+
+# ---------------------------------------------------------------------------
+# trace signal (trace.pb.go:193-394,672-676)
+# ---------------------------------------------------------------------------
+
+_B64 = base64.b64encode
+_UNB64 = base64.b64decode
+
+
+def _read_span(r: Reader) -> dict:
+    sp: dict = {}
+    attrs: list = []
+    for fid, wt in r.fields():
+        if fid == 1 and wt == LEN:
+            sp["traceId"] = _B64(r.bytes_()).decode()
+        elif fid == 2 and wt == LEN:
+            sp["spanId"] = _B64(r.bytes_()).decode()
+        elif fid == 4 and wt == LEN:
+            sp["parentSpanId"] = _B64(r.bytes_()).decode()
+        elif fid == 5 and wt == LEN:
+            sp["name"] = r.string()
+        elif fid == 6 and wt == VARINT:
+            sp["kind"] = _SPAN_KINDS[r.varint()]
+        elif fid == 7 and wt == FIXED64:
+            sp["startTimeUnixNano"] = str(r.fixed64())
+        elif fid == 8 and wt == FIXED64:
+            sp["endTimeUnixNano"] = str(r.fixed64())
+        elif fid == 9 and wt == LEN:
+            attrs.append(_read_kv(r.message()))
+        elif fid == 15 and wt == LEN:
+            code = 0
+            st_r = r.message()
+            for sfid, swt in st_r.fields():
+                if sfid == 3 and swt == VARINT:
+                    code = st_r.varint()
+                else:
+                    st_r.skip(swt)
+            if code:
+                sp["status"] = {"code": code}
+        else:
+            r.skip(wt)
+    if attrs:
+        sp["attributes"] = attrs
+    return sp
+
+
+def _write_span(sp: dict) -> Writer:
+    w = Writer()
+    if sp.get("traceId"):
+        w.bytes_(1, _UNB64(sp["traceId"]))
+    if sp.get("spanId"):
+        w.bytes_(2, _UNB64(sp["spanId"]))
+    if sp.get("parentSpanId"):
+        w.bytes_(4, _UNB64(sp["parentSpanId"]))
+    w.string(5, sp.get("name") or "")
+    w.int_(6, _KIND_TO_NUM.get(sp.get("kind") or "SPAN_KIND_UNSPECIFIED", 0))
+    w.fixed64(7, int(sp.get("startTimeUnixNano") or 0))
+    w.fixed64(8, int(sp.get("endTimeUnixNano") or 0))
+    for kv in sp.get("attributes") or []:
+        w.message(9, _write_kv(kv), keep_empty=True)
+    if sp.get("status") is not None:
+        st_w = Writer()
+        st_w.int_(3, int(sp["status"].get("code") or 0))
+        w.message(15, st_w, keep_empty=True)
+    return w
+
+
+def decode_traces_request(blob: bytes) -> dict:
+    """Binary ExportTraceServiceRequest → jsonpb-shaped dict (the
+    ``OTLP_TRACES_SCHEMA`` tree)."""
+    resource_spans = []
+    r = Reader(blob)
+    for fid, wt in r.fields():
+        if fid == 1 and wt == LEN:
+            rs: dict = {"instrumentationLibrarySpans": []}
+            rs_r = r.message()
+            for rfid, rwt in rs_r.fields():
+                if rfid == 1 and rwt == LEN:
+                    rs["resource"] = _read_resource(rs_r.message())
+                elif rfid == 2 and rwt == LEN:
+                    ils_r = rs_r.message()
+                    ils: dict = {"spans": []}
+                    for ifid, iwt in ils_r.fields():
+                        if ifid == 1 and iwt == LEN:
+                            ils["instrumentationLibrary"] = _read_library(
+                                ils_r.message()
+                            )
+                        elif ifid == 2 and iwt == LEN:
+                            ils["spans"].append(_read_span(ils_r.message()))
+                        else:
+                            ils_r.skip(iwt)
+                    rs["instrumentationLibrarySpans"].append(ils)
+                else:
+                    rs_r.skip(rwt)
+            resource_spans.append(rs)
+        else:
+            r.skip(wt)
+    return {"resourceSpans": resource_spans}
+
+
+def encode_traces_request(req: dict) -> bytes:
+    """jsonpb-shaped dict → binary ExportTraceServiceRequest."""
+    w = Writer()
+    for rs in req.get("resourceSpans") or []:
+        rs_w = Writer()
+        if rs.get("resource") is not None:
+            rs_w.message(1, _write_resource(rs["resource"]), keep_empty=True)
+        for ils in rs.get("instrumentationLibrarySpans") or []:
+            ils_w = Writer()
+            if ils.get("instrumentationLibrary") is not None:
+                ils_w.message(
+                    1, _write_library(ils["instrumentationLibrary"]), keep_empty=True
+                )
+            for sp in ils.get("spans") or []:
+                ils_w.message(2, _write_span(sp), keep_empty=True)
+            rs_w.message(2, ils_w, keep_empty=True)
+        w.message(1, rs_w, keep_empty=True)
+    return bytes(w.out)
+
+
+# ---------------------------------------------------------------------------
+# Spark surface (Arrow-batched mapInPandas, like the thrift sources)
+# ---------------------------------------------------------------------------
+
+
+def _json_to_proto(df: DataFrame, json_col: str, encode_fn) -> DataFrame:
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = [encode_fn(json.loads(line)) for line in pdf[json_col]]
+            yield pd.DataFrame({"proto": blobs})
+
+    return df.mapInPandas(encode, schema="proto binary")
+
+
+def _proto_to_json(df: DataFrame, bin_col: str, decode_fn) -> DataFrame:
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lines = [
+                json.dumps(decode_fn(bytes(blob)))
+                for blob in pdf[bin_col]
+                if blob is not None
+            ]
+            yield pd.DataFrame({"otlp": lines})
+
+    return df.mapInPandas(decode, schema="otlp string")
+
+
+def logs_to_otlp_proto(
+    df: DataFrame, resource_key: str = "conv_id", library_name: str = "transcripts"
+) -> DataFrame:
+    """Flat records → one binary ExportLogsServiceRequest blob per
+    resource group (the otlp exporter's wire payload)."""
+    from .otlp_json import logs_to_otlp_json
+
+    j = logs_to_otlp_json(df, resource_key, library_name)
+    return _json_to_proto(j, "otlp", encode_logs_request)
+
+
+def logs_from_otlp_proto(df: DataFrame, bin_col: str = "proto") -> DataFrame:
+    """Binary OTLP logs request blobs → flat records via the shared
+    protobuf-JSON semantic layer (the otlpreceiver path)."""
+    from .otlp_json import logs_from_otlp_json
+
+    return logs_from_otlp_json(_proto_to_json(df, bin_col, decode_logs_request))
+
+
+def spans_to_otlp_proto(
+    spans: DataFrame, library_name: str = "transcripts"
+) -> DataFrame:
+    """Span table → one binary ExportTraceServiceRequest blob per
+    trace."""
+    from .otlp_json import spans_to_otlp_json
+
+    j = spans_to_otlp_json(spans, library_name)
+    return _json_to_proto(j, "otlp", encode_traces_request)
+
+
+def otlp_proto_to_spans(df: DataFrame, bin_col: str = "proto") -> DataFrame:
+    """Binary OTLP trace request blobs → span table."""
+    from .otlp_json import otlp_json_to_spans
+
+    return otlp_json_to_spans(_proto_to_json(df, bin_col, decode_traces_request))

@@ -124,8 +124,28 @@ def _otlp_traces(sp):
     return otlp_json_to_spans(spans_to_otlp_json(sp))
 
 
+def _jaeger_proto(sp):
+    from opentelemetry_collector_spark.sources.jaeger_proto import (
+        jaeger_proto_to_spans,
+        spans_to_jaeger_proto,
+    )
+
+    return jaeger_proto_to_spans(spans_to_jaeger_proto(sp))
+
+
+def _otlp_traces_proto(sp):
+    from opentelemetry_collector_spark.sources.otlp_proto import (
+        otlp_proto_to_spans,
+        spans_to_otlp_proto,
+    )
+
+    return otlp_proto_to_spans(spans_to_otlp_proto(sp))
+
+
 ROUND_TRIPS = {
     "otlp_traces": _otlp_traces,
+    "otlp_traces_proto": _otlp_traces_proto,
+    "jaeger_proto": _jaeger_proto,
     "zipkin_v2": lambda sp: zipkin_json_to_spans(spans_to_zipkin_json(sp)),
     "zipkin_v1": lambda sp: zipkin_v1_json_to_spans(spans_to_zipkin_v1_json(sp)),
     "zipkin_thrift": _zipkin_thrift,
