@@ -44,6 +44,7 @@ def force(df) -> None:
 
 
 def main() -> None:
+    from opentelemetry_collector_spark.hostacct import SectionMeter
     from opentelemetry_collector_spark.session import get_spark
     from opentelemetry_collector_spark.plans.entry_queries import QUERIES
 
@@ -52,11 +53,29 @@ def main() -> None:
     # warm up the JVM/Arrow paths once so per-query numbers are steady
     force(QUERIES["pipeline_errors_agg"](spark, SF_DIR).limit(1))
 
+    # CONTENTION GUARD (round-2 lesson: a contended window published a
+    # phantom 26% suite regression): meter external CPU per query; a
+    # query whose window saw externals burn >10% of the host's core
+    # budget is retried once and the cleaner attempt kept. Residually
+    # contended queries are flagged so round-over-round BENCH files
+    # are comparable — or discountable — by rule, not argument.
+    meter = SectionMeter()  # bench is unpinned → budget = all cores
     timings: dict[str, float] = {}
+    contended: list[str] = []
+    ext_max = 0.0
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        force(QUERIES[name](spark, SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
+        attempts = []
+        for _ in range(2):
+            meter.start()
+            force(QUERIES[name](spark, SF_DIR))
+            attempts.append(meter.stop())
+            if attempts[-1]["ext_frac"] <= 0.10:
+                break
+        best = min(attempts, key=lambda a: a["ext_frac"])
+        if best["ext_frac"] > 0.10:
+            contended.append(name)
+        ext_max = max(ext_max, best["ext_frac"])
+        timings[name] = round(best["sec"], 3)
 
     # production-hash MinHash (xxhash64 — the 100 TB path; the suite
     # keeps the oracle-parity rolling hash so bench == correctness
@@ -68,9 +87,13 @@ def main() -> None:
     )
 
     docs = read_table(spark, SF_DIR, "documents")
-    t0 = time.time()
+    meter.start()
     force(minhash_lsh_pairs(docs, hash_fn=production_hash))
-    minhash_xxhash_sec = round(time.time() - t0, 3)
+    m = meter.stop()
+    if m["ext_frac"] > 0.10:
+        contended.append("minhash_xxhash")
+        ext_max = max(ext_max, m["ext_frac"])
+    minhash_xxhash_sec = round(m["sec"], 3)
 
     # throughput of the flagship pipeline: turns/sec through
     # parse→enrich→route→aggregate (turns = input transcript rows)
@@ -90,6 +113,11 @@ def main() -> None:
                 "pipeline_turns": n_turns,
                 "pipeline_turns_per_sec": round(n_turns / pipeline_sec, 1),
                 "minhash_xxhash_sec": minhash_xxhash_sec,
+                "contention": {
+                    "clean": not contended,
+                    "contended_queries": contended,
+                    "max_external_cpu_frac": round(ext_max, 4),
+                },
             }
         )
     )
