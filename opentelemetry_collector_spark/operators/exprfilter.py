@@ -52,15 +52,29 @@ _IDENT_SQL = {
 
 # Java-regex-only constructs that Go RE2 rejects: lookaround / atomic
 # groups `(?=` `(?!` `(?<=` `(?<!` `(?>`, backreferences `\1`..`\9`,
-# and possessive quantifiers `*+` `++` `?+` `{n}+`.
-_NON_RE2 = re.compile(r"(?<!\\)\(\?[=!<>]|(?<!\\)\\[1-9]|(?<!\\)[*+?}]\+")
+# and possessive quantifiers `*+` `++` `?+` `{n}+` / `{n,m}+`.
+# Scanned AFTER collapsing escape pairs, so a literal `\\` can neither
+# hide a real construct behind a naive lookbehind nor mask one, and a
+# bare `}` (a literal in both dialects, e.g. "x}+") is only treated as
+# a quantifier close when a `{n[,m]}` brace form precedes the `+`.
+_NON_RE2_STRIPPED = re.compile(r"\(\?[=!<>]|[*+?]\+|\{\d+(?:,\d*)?\}\+")
 
 
 def _validate_re2_subset(pattern: str) -> None:
-    if _NON_RE2.search(pattern):
+    # escape pairs first: \1..\9 are Java backreferences (RE2 has none)
+    for m in re.finditer(r"\\(.)", pattern):
+        if m.group(1) in "123456789":
+            raise ValueError(
+                f"pattern {pattern!r} uses a backreference — outside "
+                "the RE2 subset"
+            )
+    # collapse every escape pair to an inert placeholder, then scan
+    # for the remaining Java-only constructs on true (unescaped) text
+    stripped = re.sub(r"\\.", "\x00", pattern)
+    if _NON_RE2_STRIPPED.search(stripped):
         raise ValueError(
             f"pattern {pattern!r} uses Java-only regex constructs "
-            "(lookaround/backreference/possessive) outside the RE2 subset"
+            "(lookaround/possessive) outside the RE2 subset"
         )
 
 

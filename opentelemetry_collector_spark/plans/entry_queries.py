@@ -497,6 +497,11 @@ def murmur3_oracle_sql(sf_dir: str | None = None) -> str:
         )
         < scaled
     ]
+    if not keep:
+        # tiny sf dir / low rate can produce an empty keep-set;
+        # "IN ()" is a SQL syntax error, so emit an always-false
+        # predicate with the same (empty) result shape instead
+        return "SELECT event_id FROM events WHERE FALSE"
     vals = ", ".join(str(i) for i in sorted(keep))
     return f"SELECT event_id FROM events WHERE event_id IN ({vals})"
 

@@ -94,9 +94,9 @@ def _sql_dot(u: str, v: str, dim_expr: str) -> str:
     )
 
 
-def _sql_hyperplane_bucket(vec: str) -> str:
+def _sql_hyperplane_bucket(vec: str, planes=None) -> str:
     terms = []
-    for p, plane in enumerate(HYPERPLANES):
+    for p, plane in enumerate(planes if planes is not None else HYPERPLANES):
         plane_sql = "[" + ", ".join(f"CAST({w} AS DOUBLE)" for w in plane) + "]"
         dot = _sql_dot(vec, plane_sql, f"len({vec})")
         terms.append(f"(CASE WHEN {dot} > 0 THEN {2 ** p} ELSE 0 END)")
@@ -261,12 +261,25 @@ def q_td_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_td_embed_near_dup() -> str:
+    # the Spark side auto-sizes the signature to the corpus
+    # (embedding_near_dup_pairs n_bits="auto"); mirror it from the
+    # parquet footer row count of the sf dir the driver points at
+    # (same env-derived-oracle pattern as the murmur3 keep-set)
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..trainingdata.dedup import hyperplane_bits_for, make_hyperplanes
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    n = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+    planes = make_hyperplanes(hyperplane_bits_for(n))
     dot_ab = _sql_dot("a.v", "b.v", "len(a.v)")
     return f"""
 WITH base AS (
   SELECT vec_id, embedding AS v,
          sqrt({_sql_dot('embedding', 'embedding', 'len(embedding)')}) AS nrm,
-         {_sql_hyperplane_bucket('embedding')} AS bucket
+         {_sql_hyperplane_bucket('embedding', planes)} AS bucket
   FROM embeddings
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -443,6 +456,59 @@ FROM hist
 """
 
 
+def q_td_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL uncompressed-codec decode end-to-end: synthesize BMP
+    (24-bpp BI_RGB) and WAV (RIFF PCM16) payloads with closed-form
+    content from the documents ids, decode them with the header-parsing
+    numpy codecs (multimodal.decode_bmp/decode_wav), and aggregate
+    integer-exact unit counts + sums per media for the cross-engine
+    check (the oracle computes the same sums from the closed form,
+    no decoder needed)."""
+    from ..trainingdata.multimodal import decode_media, synthesize_coded_media
+
+    _register(spark, sf_dir, "documents")
+    media = synthesize_coded_media(spark.table("documents"))
+    bmp = decode_media(media.filter(F.col("kind") == "image"), codec="bmp")
+    wav = decode_media(media.filter(F.col("kind") == "audio"), codec="wav")
+    decoded = bmp.unionByName(wav)
+    return decoded.select(
+        "media_id",
+        "kind",
+        F.size("pixels").cast("long").alias("n_units"),
+        F.aggregate(
+            "pixels", F.lit(0.0), lambda acc, x: acc + x
+        ).cast("long").alias("unit_sum"),
+    )
+
+
+def _oracle_td_media_decode() -> str:
+    # same closed forms as synthesize_coded_media: BMP gray[r,c] =
+    # (id*31 + r*7 + c*13) % 256 over h=id%9+3 rows × w=id%13+4 cols;
+    # WAV s[i] = (id*7 + i*11) % 65536 − 32768 over n=id%50+10
+    bmp_sum = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), flatten("
+        "list_transform(generate_series(0, doc_id % 9 + 2), r -> "
+        "list_transform(generate_series(0, doc_id % 13 + 3), c -> "
+        "(doc_id * 31 + r * 7 + c * 13) % 256)))), (a, b) -> a + b)"
+    )
+    wav_sum = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(generate_series(0, doc_id % 50 + 9), i -> "
+        "(doc_id * 7 + i * 11) % 65536 - 32768)), (a, b) -> a + b)"
+    )
+    return f"""
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST((doc_id % 9 + 3) * (doc_id % 13 + 4) AS BIGINT) AS n_units,
+       CAST({bmp_sum} AS BIGINT) AS unit_sum
+FROM documents
+UNION ALL
+SELECT doc_id AS media_id, 'audio' AS kind,
+       CAST(doc_id % 50 + 10 AS BIGINT) AS n_units,
+       CAST({wav_sum} AS BIGINT) AS unit_sum
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry fragments (merged by entry_queries)
 # ---------------------------------------------------------------------------
@@ -459,6 +525,7 @@ TD_QUERIES = {
     "td_lang_quality": q_td_lang_quality,
     "td_fingerprint": q_td_fingerprint,
     "td_media_features": q_td_media_features,
+    "td_media_decode": q_td_media_decode,
 }
 
 TD_ORACLES = {
@@ -473,4 +540,5 @@ TD_ORACLES = {
     "td_lang_quality": _oracle_td_lang_quality(),
     "td_fingerprint": _oracle_td_fingerprint(),
     "td_media_features": _oracle_td_media_features(),
+    "td_media_decode": _oracle_td_media_decode(),
 }

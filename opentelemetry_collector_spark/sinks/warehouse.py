@@ -130,6 +130,10 @@ class Warehouse:
                 return json.load(f)
         return None
 
+    def has_run(self, sink: str, run_id: str) -> bool:
+        """True when (run_id, sink) already has a committed snapshot."""
+        return self.committed(_fingerprint(run_id, sink)) is not None
+
     def _commit(self, manifest: dict) -> None:
         """Write-then-rename so a manifest is either absent or complete
         (the snapshot-commit atomicity Iceberg gives natively)."""

@@ -153,7 +153,12 @@ def jaeger_json_to_spans(df: DataFrame, json_col: str = "jaeger") -> DataFrame:
     coerced = F.transform(
         F.filter(
             F.coalesce(F.col("tags"), F.array().cast(_TAG_SCHEMA)),
-            lambda t: ~t["key"].isin(*_RESERVED_TAGS),
+            # key.isNotNull() EXPLICITLY: untrusted JSON can omit
+            # 'key', and a NULL key reaching the create_map fold below
+            # is a runtime error, not a skipped tag (the Go receiver
+            # skips it). ~NULL.isin(...) would drop it only
+            # implicitly via three-valued logic.
+            lambda t: t["key"].isNotNull() & ~t["key"].isin(*_RESERVED_TAGS),
         ),
         lambda t: F.struct(
             t["key"].alias("key"),

@@ -154,7 +154,8 @@ def oc_json_to_spans(df: DataFrame, json_col: str = "oc") -> DataFrame:
 # OC MetricDescriptor.Type ↔ (data_type, temporality). OC has no DELTA
 # representation — the reference treats OC points as gauge/cumulative
 # only (oc_to_metrics.go descriptorTypeToMetrics); DELTA rows are not
-# OC-expressible and are rejected by strict=True (dropped otherwise).
+# OC-expressible and metrics_to_oc_json UNCONDITIONALLY drops them
+# (the oracle encodes the same drop).
 _OC_TYPE_BY_MODEL = {
     ("IntGauge", "UNSPECIFIED"): "GAUGE_INT64",
     ("DoubleGauge", "UNSPECIFIED"): "GAUGE_DOUBLE",

@@ -162,9 +162,15 @@ def zipkin_v1_json_to_spans(df: DataFrame, json_col: str = "zipkin_v1") -> DataF
     ).otherwise(F.array_max(ann_times))
     # lc → component rename happens BEFORE the status mapper sees keys
     renamed = F.transform(
-        F.coalesce(
-            F.col("binaryAnnotations"),
-            F.array().cast(ZIPKIN_V1_SPAN_SCHEMA["binaryAnnotations"].dataType),
+        # a binary annotation missing its 'key' (untrusted JSON) must
+        # be a skipped tag, not a "null as map key" runtime error in
+        # the create_map fold below
+        F.filter(
+            F.coalesce(
+                F.col("binaryAnnotations"),
+                F.array().cast(ZIPKIN_V1_SPAN_SCHEMA["binaryAnnotations"].dataType),
+            ),
+            lambda b: b["key"].isNotNull(),
         ),
         lambda b: F.struct(
             F.when(b["key"] == "lc", F.lit("component")).otherwise(b["key"]).alias("key"),

@@ -81,6 +81,22 @@ def streaming_windowed_counts(
     )
 
 
+def stream_identity(checkpoint_dir: str) -> str:
+    """Stable stream namespace from the checkpoint dir: Spark resumes
+    epoch numbering from the checkpoint, so (checkpoint, epoch) is
+    globally unique while staying stable across failure replays of the
+    same epoch. The path is normalized (realpath) first — the SAME
+    checkpoint reached via a relative vs absolute (or symlinked)
+    spelling must hash to the SAME namespace, or a resumed stream
+    would re-commit epochs its previous incarnation already wrote."""
+    import hashlib
+    import os
+
+    return hashlib.sha256(
+        os.path.realpath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
+
+
 def start_routed_stream(
     spark: SparkSession,
     source: DataFrame,
@@ -97,16 +113,11 @@ def start_routed_stream(
     at-least-once replay — while a SECOND stream, or a restart with a
     fresh checkpoint, gets a different namespace and can never collide
     with (and silently skip against) another stream's epochs."""
-    import hashlib
-
     from ..plans.pipeline import PipelineConfig, parse_stage, enrich_stage, route_stage
     from .. import datagen
 
     config = config or PipelineConfig()
-    # checkpoint_dir IS the stream's identity: Spark resumes epoch
-    # numbering from it, so (checkpoint, epoch) is globally unique
-    # while staying stable across failure replays of the same epoch.
-    stream_id = hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12]
+    stream_id = stream_identity(checkpoint_dir)
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         s = batch_df.sparkSession
@@ -116,6 +127,13 @@ def start_routed_stream(
         ).persist()
         try:
             for sink, df in route_stage(enriched, config.routes).items():
+                # one-time migration: an epoch committed by a pre-
+                # namespacing build wrote run_id "epoch-N"; replaying
+                # it under the namespaced id would double-commit, so
+                # honor the legacy snapshot if present
+                legacy = f"epoch-{epoch_id}"
+                if warehouse.has_run(sink, legacy):
+                    continue
                 warehouse.write_sink(sink, df, run_id=f"{stream_id}-epoch-{epoch_id}")
         finally:
             enriched.unpersist()

@@ -46,7 +46,12 @@ from .similarity import (
 from .multimodal import (
     MEDIA_SCHEMA,
     synthesize_media,
+    synthesize_coded_media,
     extract_features,
     decode_media,
+    decode_bmp,
+    encode_bmp,
+    decode_wav,
+    encode_wav,
     frame_sample,
 )

@@ -45,6 +45,12 @@ EMBED_DIM = 64
 _HYPERPLANE_SEED = 271828
 MAX_HYPERPLANES = 48   # signatures pack into a long; stay clear of 63
 
+# default ceiling on one LSH band bucket's contribution to the
+# candidate self-join (see _cap_hot_buckets): bounds the worst bucket
+# at 10^6 pairs while leaving every healthy bucket — web-corpus band
+# buckets hold a handful of docs — untouched. None disables the cap.
+DEFAULT_HOT_BUCKET_LIMIT = 1000
+
 
 def make_hyperplanes(
     bits: int, dim: int = EMBED_DIM, seed: int = _HYPERPLANE_SEED
@@ -104,7 +110,25 @@ def exact_dedup_clusters(df: DataFrame, text_col: str = "text", id_col: str = "d
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-_LAST_SIG_CACHE = None  # see minhash_lsh_pairs cache_signatures
+# signature-table cache (see minhash_lsh_pairs cache_signatures):
+# keyed by (input plan, knobs) so two concurrent pipelines in one
+# driver never unpersist each other's signatures; bounded FIFO so
+# repeated invocations don't accumulate executor storage.
+import threading
+from collections import OrderedDict
+
+_SIG_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+_SIG_CACHE_LOCK = threading.Lock()
+_SIG_CACHE_MAX = 4
+
+
+def _plan_key(df: DataFrame):
+    """Stable identity of a DataFrame's logical plan (Catalyst
+    semanticHash); falls back to object identity off classic PySpark."""
+    try:
+        return df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:
+        return id(df)
 
 def shingles_col(col: Column, k: int = MINHASH_K) -> Column:
     """Distinct k-token shingles; documents shorter than k tokens fall
@@ -204,7 +228,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     jaccard_threshold: float | None = None,
     cache_signatures: bool = True,
-    hot_bucket_limit: int | None = None,
+    hot_bucket_limit: int | None = DEFAULT_HOT_BUCKET_LIMIT,
     hash_fn=None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket
@@ -235,19 +259,27 @@ def minhash_lsh_pairs(
         .select("id", "sh", lsh_band_keys(F.col("sig")).alias("bands"))
     )
     if cache_signatures:
-        # cache bounded to ONE signature table per process: a new call
-        # releases the previous call's cache (the result DataFrame must
-        # stay lazy, so the caller can't unpersist for us; keeping only
-        # the latest stops repeated invocations from accumulating
-        # executor storage)
-        global _LAST_SIG_CACHE
-        if _LAST_SIG_CACHE is not None:
-            try:
-                _LAST_SIG_CACHE.unpersist(blocking=False)
-            except Exception:
-                pass
-        sigs = sigs.persist()
-        _LAST_SIG_CACHE = sigs
+        # the result DataFrame must stay lazy, so the caller can't
+        # unpersist for us: keep a small keyed FIFO — same input +
+        # knobs reuses the already-persisted signature table, a
+        # DIFFERENT concurrent pipeline gets its own entry (never
+        # evicting another's mid-flight), and the bound stops
+        # repeated invocations from accumulating executor storage
+        key = (_plan_key(df), text_col, id_col, hash_fn)
+        with _SIG_CACHE_LOCK:
+            cached = _SIG_CACHE.get(key)
+            if cached is not None:
+                _SIG_CACHE.move_to_end(key)
+                sigs = cached
+            else:
+                sigs = sigs.persist()
+                _SIG_CACHE[key] = sigs
+                while len(_SIG_CACHE) > _SIG_CACHE_MAX:
+                    _, evicted = _SIG_CACHE.popitem(last=False)
+                    try:
+                        evicted.unpersist(blocking=False)
+                    except Exception:
+                        pass
     exploded = _cap_hot_buckets(
         sigs.select("id", F.posexplode("bands").alias("band_idx", "band_key")),
         hot_bucket_limit,
@@ -319,7 +351,7 @@ def simhash_lsh_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     bits: int = SIMHASH_BITS,
-    hot_bucket_limit: int | None = None,
+    hot_bucket_limit: int | None = DEFAULT_HOT_BUCKET_LIMIT,
     hash_fn=None,
 ) -> DataFrame:
     """SimHash near-dup pairs with hamming ≤ max_hamming via banded
@@ -427,7 +459,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.9,
     use_lsh: bool = True,
-    n_bits: int | None = None,
+    n_bits: int | str | None = "auto",
 ) -> DataFrame:
     """Embedding near-duplicates: pairs with cosine ≥ threshold.
     use_lsh: candidates = same random-hyperplane sign bucket (the
@@ -435,14 +467,20 @@ def embedding_near_dup_pairs(
     otherwise all pairs (verification path).
 
     ``n_bits`` sizes the signature to the corpus (nested family, see
-    ``make_hyperplanes``): at 10^9 vectors pass
-    ``hyperplane_bits_for(n)`` (~20 bits) so the expected bucket stays
-    ~1000 and the within-bucket join is bounded; the default 8 bits is
-    right only for ≤~10^6 vectors. More bits trade recall for cost —
-    recover recall with a second table (different seed) unioned before
-    the cosine verify."""
+    ``make_hyperplanes``). The DEFAULT ``"auto"`` counts the input
+    (one cheap aggregate job at plan-build time) and takes
+    ``hyperplane_bits_for(n)`` — ~20 bits at 10^9 vectors so the
+    expected bucket stays ~1000 and the within-bucket join is bounded;
+    fewer bits on a small corpus only ADD candidate pairs (nested
+    family: coarser signature ⊇ finer's buckets), so the verified
+    result set is unchanged. Pass an int to pin the width, or None for
+    the module default (8 bits, right only for ≤~10^6 vectors). More
+    bits trade recall for cost — recover recall with a second table
+    (different seed) unioned before the cosine verify."""
     from .similarity import hyperplane_signature
 
+    if n_bits == "auto":
+        n_bits = hyperplane_bits_for(df.count())
     planes = make_hyperplanes(n_bits) if n_bits is not None else None
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = df.select(

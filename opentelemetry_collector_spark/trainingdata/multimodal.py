@@ -117,19 +117,111 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# real codecs for UNCOMPRESSED formats (header + numpy, no PIL/ffmpeg):
+# BMP (BITMAPINFOHEADER, 24-bpp BI_RGB) and WAV (RIFF PCM16). Public
+# layouts; compressed codecs (JPEG/MP3/H.264) stay honestly gated in
+# decode_media(codec="real").
+# ---------------------------------------------------------------------------
+
+import struct
+
+
+def encode_bmp(gray: np.ndarray) -> bytes:
+    """Grayscale (h, w) uint8 array → 24-bpp uncompressed BMP (each
+    gray value replicated to BGR; rows 4-byte padded, bottom-up)."""
+    h, w = gray.shape
+    row_len = (w * 3 + 3) & ~3
+    img_size = row_len * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    pad = b"\x00" * (row_len - w * 3)
+    rows = [
+        np.repeat(gray[r], 3).astype(np.uint8).tobytes() + pad
+        for r in range(h - 1, -1, -1)  # bottom-up row order
+    ]
+    return header + dib + b"".join(rows)
+
+
+def decode_bmp(blob: bytes) -> np.ndarray:
+    """24-bpp uncompressed BMP → grayscale (h, w) float64 (mean of
+    BGR), handling bottom-up (positive height) and top-down (negative)
+    row order and 4-byte row padding."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", blob, 10)[0]
+    w, h_raw = struct.unpack_from("<ii", blob, 18)
+    bpp = struct.unpack_from("<H", blob, 28)[0]
+    comp = struct.unpack_from("<I", blob, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only uncompressed 24-bpp BMP supported (bpp={bpp}, compression={comp})")
+    top_down, h = h_raw < 0, abs(h_raw)
+    row_len = (w * 3 + 3) & ~3
+    px = np.frombuffer(blob, dtype=np.uint8, count=row_len * h, offset=data_off)
+    px = px.reshape(h, row_len)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        px = px[::-1]
+    return px.astype(np.float64).mean(axis=2)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 mono samples → RIFF/WAVE PCM16 file bytes."""
+    data = np.asarray(samples).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(blob: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE PCM16 → (sample_rate, int16 sample array); walks the
+    chunk list (word-aligned) so extra chunks (LIST, fact, …) are
+    skipped like any compliant reader."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, channels, data = 12, None, 1, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        size = struct.unpack_from("<I", blob, pos + 4)[0]
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"only PCM16 supported (fmt={audio_fmt}, bits={bits})")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    samples = np.frombuffer(data, dtype="<i2")
+    if channels > 1:
+        samples = samples.reshape(-1, channels).mean(axis=1).astype("<i2")
+    return rate, samples
+
+
 def decode_media(df: DataFrame, codec: str = "real") -> DataFrame:
     """Decode payloads to raw pixel/sample arrays.
 
-    codec='real' raises NotImplementedError (no PIL/ffmpeg in this
-    container — plug the real decoder into the same mapInPandas slot).
+    codec='bmp' / codec='wav': REAL decoders for the uncompressed
+    formats (see decode_bmp/decode_wav) — values are emitted in the
+    container's native domain (gray 0..255 / int16 samples), exact as
+    doubles, so downstream aggregates stay integer-exact.
+    codec='real' raises NotImplementedError (compressed codecs —
+    PIL/ffmpeg — are not in this container; plug the real decoder into
+    the same mapInPandas slot).
     codec='fake' decodes deterministically: byte i → double i-th byte
     value / 255, truncated to width*height."""
     if codec == "real":
         raise NotImplementedError(
-            "real media codecs (PIL/soundfile/ffmpeg) are not available in "
-            "this environment; use codec='fake' for the deterministic stub"
+            "compressed media codecs (PIL/soundfile/ffmpeg) are not available "
+            "in this environment; use codec='bmp'/'wav' for the real "
+            "uncompressed decoders or codec='fake' for the deterministic stub"
         )
-    if codec != "fake":
+    if codec not in ("fake", "bmp", "wav"):
         raise ValueError(f"unknown codec {codec!r}")
 
     schema = T.StructType(
@@ -144,14 +236,54 @@ def decode_media(df: DataFrame, codec: str = "real") -> DataFrame:
         for pdf in it:
             out_px = []
             for buf, meta in zip(pdf["payload"], pdf["meta"]):
-                arr = np.frombuffer(bytes(buf), dtype=np.uint8).astype(np.float64) / 255.0
-                limit = int(meta["width"]) * int(meta["height"])
-                out_px.append(arr[:limit].round(6))
+                if codec == "bmp":
+                    out_px.append(decode_bmp(bytes(buf)).ravel())
+                elif codec == "wav":
+                    out_px.append(decode_wav(bytes(buf))[1].astype(np.float64))
+                else:
+                    arr = np.frombuffer(bytes(buf), dtype=np.uint8).astype(np.float64) / 255.0
+                    limit = int(meta["width"]) * int(meta["height"])
+                    out_px.append(arr[:limit].round(6))
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "kind": pdf["kind"], "pixels": out_px}
             )
 
     return df.mapInPandas(batches, schema)
+
+
+def synthesize_coded_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-format media table: per input id, one BMP
+    image (w=id%13+4, h=id%9+3, gray[r,c]=(id*31+r*7+c*13)%256) and
+    one WAV clip (n=id%50+10 samples, s[i]=(id*7+i*11)%65536−32768) —
+    closed-form content, so an SQL oracle can compute expected decode
+    aggregates without a decoder. Payload bytes are built executor-side
+    in Arrow batches; nothing passes through the driver."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"media_id": [], "kind": [], "payload": [], "meta": []}
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = i % 13 + 4, i % 9 + 3
+                r, c = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+                gray = ((i * 31 + r * 7 + c * 13) % 256).astype(np.uint8)
+                rows["media_id"].append(i)
+                rows["kind"].append("image")
+                rows["payload"].append(encode_bmp(gray))
+                rows["meta"].append(
+                    {"width": w, "height": h, "n_frames": 1, "sample_rate": 0}
+                )
+                n = i % 50 + 10
+                samples = (i * 7 + np.arange(n) * 11) % 65536 - 32768
+                rows["media_id"].append(i)
+                rows["kind"].append("audio")
+                rows["payload"].append(encode_wav(samples))
+                rows["meta"].append(
+                    {"width": 0, "height": 0, "n_frames": 0, "sample_rate": 16000}
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col).mapInPandas(batches, MEDIA_SCHEMA)
 
 
 def frame_sample(df: DataFrame, every_n: int = 4) -> DataFrame:

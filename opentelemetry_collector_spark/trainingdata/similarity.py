@@ -107,7 +107,17 @@ def ivf_train_centroids(
 
     dim = len(df.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
-    sample = df.select(vec_col).limit(4 * k).collect()
+    # seeded REPRESENTATIVE sample for the init pool: a plain
+    # limit(4k) takes the first partitions in order, so on a sorted or
+    # clustered table the seed pool — and thus every centroid — comes
+    # from one corner of the space. A Bernoulli sample scans but
+    # touches only vec_col; fall back to limit() only if the sampled
+    # pool came back short (tiny corpus).
+    n = df.count()
+    frac = min(1.0, (8.0 * k) / max(n, 1))
+    sample = df.select(vec_col).sample(fraction=frac, seed=seed).limit(8 * k).collect()
+    if len(sample) < min(k, n):
+        sample = df.select(vec_col).limit(4 * k).collect()
     pool = np.array([list(r[0]) for r in sample], dtype=np.float64)
     centroids = pool[rng.choice(len(pool), size=min(k, len(pool)), replace=False)]
 

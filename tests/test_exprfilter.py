@@ -124,3 +124,27 @@ class TestRE2Subset:
         # escaped metachars and named groups are RE2-legal
         assert df.filter(compile_expr(r'MetricName matches "a\+b"')).count() == 1
         assert df.filter(compile_expr(r'MetricName matches "(?:a.)b"')).count() == 1
+
+    def test_escape_aware_validator_edges(self):
+        from opentelemetry_collector_spark.operators.exprfilter import (
+            _validate_re2_subset,
+        )
+
+        # literal unescaped '}' then '+' is valid RE2 (no quantifier
+        # braces) — must NOT be rejected as possessive
+        _validate_re2_subset(r"x}+")
+        # escaped brace quantifier form likewise literal
+        _validate_re2_subset(r"a\{2\}+")
+        # a lookahead after an ESCAPED backslash is a real lookahead
+        # (the backslash escapes itself, not the paren)
+        with pytest.raises(ValueError, match="RE2"):
+            _validate_re2_subset("\\\\(?=a)")
+        # true possessive brace quantifier stays rejected
+        with pytest.raises(ValueError, match="RE2"):
+            _validate_re2_subset(r"a{2}+")
+        with pytest.raises(ValueError, match="RE2"):
+            _validate_re2_subset(r"a{2,5}+")
+        # escaped-digit backreference detection is escape-pair exact
+        with pytest.raises(ValueError, match="RE2"):
+            _validate_re2_subset(r"(a)\1")
+        _validate_re2_subset(r"(a)\\1")  # literal backslash then '1'

@@ -90,3 +90,16 @@ class TestTypedTagCoercion:
             ],
         )
         assert r["attrs"]["k"] == "second"
+
+    def test_keyless_tag_skipped_not_fatal(self, spark):
+        # untrusted JSON: a tag object with no 'key' must be skipped
+        # (Go receiver behavior), not a "null as map key" runtime error
+        # in the last-wins fold
+        r = self._parse_one(
+            spark,
+            [
+                {"type": "string", "value": "orphan"},
+                {"key": "k", "type": "string", "value": "kept"},
+            ],
+        )
+        assert r["attrs"] == {"k": "kept"}

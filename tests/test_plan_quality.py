@@ -80,19 +80,62 @@ class TestPlanQuality:
         # compact plan string
         assert "*(1) Project" in plan, plan
 
+    @staticmethod
+    def _shuffles(plan: str) -> int:
+        """Count DISTINCT shuffle exchanges: 'Exchange hashpartitioning'
+        node lines, excluding ReusedExchange references (whose line
+        text repeats the referenced exchange's description)."""
+        return sum(
+            1
+            for line in plan.splitlines()
+            if "Exchange hashpartitioning" in line and "ReusedExchange" not in line
+        )
+
     def test_minhash_lsh_single_join_shuffle_side(self, spark):
         from opentelemetry_collector_spark.trainingdata import minhash_lsh_pairs
 
         docs = datagen.make_transcripts_df(spark, n_convs=5).selectExpr(
             "cast(turn_idx as long) as doc_id", "text"
         )
-        plan = plan_of(minhash_lsh_pairs(docs))
-        # signature/shingle computation must not shuffle. Exchanges:
-        # light band self-join (≤2) + pair dedup (1) + the two
-        # candidate→shingle joins (≤2) — the heavy shingle arrays move
-        # only for surviving pairs, never through the band join
-        n_exchanges = plan.count("Exchange")
-        assert n_exchanges <= 5, f"{n_exchanges} exchanges\n{plan}"
+        # assert under the AT-SCALE join regime (sort-merge, no
+        # broadcast, no AQE tiny-data rewrites): on 10^9 docs every
+        # side outgrows the broadcast threshold, and that is the plan
+        # whose shuffle budget matters
+        saved = {
+            k: spark.conf.get(k, None)
+            for k in (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.enabled",
+            )
+        }
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            # shuffles: band self-join (1, exchange shared by both
+            # sides) + pair dedup (1) + the two candidate→shingle
+            # joins (≤2, one side reused) + final id_b join (1) — the
+            # heavy shingle arrays move only for surviving pairs,
+            # never through the band join
+            plan = plan_of(minhash_lsh_pairs(docs, hot_bucket_limit=None))
+            n = self._shuffles(plan)
+            assert n <= 5, f"{n} shuffles\n{plan}"
+
+            # the DEFAULT hot-bucket cap must be shuffle-neutral: its
+            # row_number window partitions on the same (band_idx,
+            # band_key) the self-join hashes on, so Catalyst reuses
+            # ONE exchange for window + both join sides, and the
+            # partial WindowGroupLimit prunes map-side BEFORE it
+            capped = plan_of(minhash_lsh_pairs(docs))
+            n_capped = self._shuffles(capped)
+            assert n_capped <= n, f"cap added shuffles: {n_capped} > {n}\n{capped}"
+            assert "ReusedExchange" in capped, capped
+            assert "WindowGroupLimit" in capped and "Partial" in capped, capped
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
 
     def test_topk_uses_take_ordered(self, spark, parquet_transcripts):
         q = (

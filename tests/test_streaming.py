@@ -83,6 +83,44 @@ class TestStreamingPipeline:
         )
         assert wh.read_sink(spark, "errors").count() == expect_err
 
+    def test_stream_equals_batch_on_sf_parquet(self, spark, tmp_path):
+        """The stream==batch invariant (the strongest check available
+        without a driver streaming oracle): replay the sf0.001 parquet
+        through stream_transcripts in multi-epoch availableNow mode and
+        assert every routed sink's final content equals the batch
+        pipeline's routed output row-for-row on every column."""
+        from opentelemetry_collector_spark.plans.pipeline import run_pipeline
+        from opentelemetry_collector_spark.plans.shared_sql import (
+            _derive_transcripts,
+        )
+
+        transcripts = _derive_transcripts(spark, "/root/testdata/sf0.001").cache()
+        src_dir = str(tmp_path / "sf_incoming")
+        (
+            transcripts.repartition(6)
+            .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+            .write.parquet(src_dir)
+        )
+
+        wh = Warehouse(str(tmp_path / "wh_parity"))
+        src = stream_transcripts(spark, src_dir, max_files_per_trigger=2)
+        q = start_routed_stream(
+            spark, src, wh, checkpoint_dir=str(tmp_path / "ckpt_parity")
+        )
+        _await(q)
+
+        batch = run_pipeline(spark, transcripts)
+        for sink, batch_df in batch["routed"].items():
+            got = wh.read_sink(spark, sink)
+            cols = sorted(batch_df.columns)
+            want = batch_df.select(cols)
+            have = got.select(cols)
+            assert have.count() == want.count(), sink
+            assert have.subtract(want).count() == 0, f"{sink}: extra rows"
+            assert want.subtract(have).count() == 0, f"{sink}: missing rows"
+        batch["enriched"].unpersist()
+        transcripts.unpersist()
+
     def test_batch_emitter_size_trigger(self, spark, tiny_transcripts, source_dir, tmp_path):
         src = stream_transcripts(spark, source_dir)
         emitted = batch_emitter_state(src, batch_size=5)
@@ -106,6 +144,45 @@ class TestStreamingPipeline:
             got[r["conv_id"]] = max(got.get(r["conv_id"], 0), r["batch_seq"])
         for conv, n in turns.items():
             assert got.get(conv, 0) == n // 5, conv
+
+
+class TestStreamIdentity:
+    def test_namespace_is_spelling_invariant(self, tmp_path, monkeypatch):
+        from opentelemetry_collector_spark.streaming.pipeline import (
+            stream_identity,
+        )
+
+        d = tmp_path / "ckpt"
+        d.mkdir()
+        monkeypatch.chdir(tmp_path)
+        absolute = stream_identity(str(d))
+        relative = stream_identity("ckpt")
+        dotted = stream_identity(str(tmp_path / "." / "ckpt"))
+        assert absolute == relative == dotted
+        other = tmp_path / "ckpt2"
+        other.mkdir()
+        assert stream_identity(str(other)) != absolute
+
+    def test_legacy_epoch_snapshot_honored(self, spark, tiny_transcripts, source_dir, tmp_path):
+        """One-time migration: a sink epoch committed by a pre-
+        namespacing build under run_id 'epoch-N' must NOT be committed
+        a second time under the namespaced id when that epoch replays."""
+        wh = Warehouse(str(tmp_path / "wh_legacy"))
+        # simulate the pre-change build having committed epoch 0 for
+        # the archive sink (single availableNow epoch with no file cap)
+        legacy_rows = tiny_transcripts.limit(3).select("conv_id", "turn_idx")
+        wh.write_sink("archive", legacy_rows, run_id="epoch-0")
+        assert wh.has_run("archive", "epoch-0")
+
+        src = stream_transcripts(spark, source_dir)
+        q = start_routed_stream(
+            spark, src, wh, checkpoint_dir=str(tmp_path / "ckpt_legacy")
+        )
+        _await(q)
+        # archive kept the legacy snapshot (3 rows), no double commit;
+        # the other sinks committed normally under the new namespace
+        assert wh.read_sink(spark, "archive").count() == 3
+        assert wh.read_sink(spark, "errors").count() > 0
 
 
 class TestStreamingDedup:

@@ -139,6 +139,23 @@ class TestV1ParseRules:
         df = spark.createDataFrame([(json.dumps(span),)], "zipkin_v1 string")
         return zipkin_v1_json_to_spans(df).first()
 
+    def test_keyless_binary_annotation_skipped_not_fatal(self, spark):
+        # a binaryAnnotation missing 'key' (untrusted JSON) is a
+        # skipped tag, not a "null as map key" error in the tags fold
+        r = self._parse(
+            spark,
+            {
+                "traceId": "a" * 16, "id": "b" * 16, "timestamp": 1000,
+                "duration": 5,
+                "binaryAnnotations": [
+                    {"value": "orphan"},
+                    {"key": "k", "value": "kept"},
+                ],
+            },
+        )
+        assert r["attrs"]["k"] == "kept"
+        assert None not in r["attrs"]
+
     def test_first_kind_annotation_wins(self, spark):
         r = self._parse(
             spark,
