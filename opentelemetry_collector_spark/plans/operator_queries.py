@@ -633,7 +633,105 @@ FROM f
 # registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# loggingexporter (exporter/loggingexporter/logging_exporter.go)
+# ---------------------------------------------------------------------------
+
+
+def _go_time_sql(us: str) -> str:
+    """DuckDB mirror of sinks.logging_exporter.go_time_string: Go
+    ``time.Unix(0, ns).String()`` under UTC — trailing-zero-trimmed
+    fraction, omitted when zero, ``+0000 UTC`` suffix."""
+    frac = f"rtrim(lpad(CAST({us} % 1000000 AS VARCHAR), 6, '0'), '0')"
+    return (
+        f"strftime(make_timestamp({us}), '%Y-%m-%d %H:%M:%S')"
+        f" || CASE WHEN {frac} <> '' THEN '.' || {frac} ELSE '' END"
+        f" || ' +0000 UTC'"
+    )
+
+
+def q_logging_exporter_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """loggingexporter debug rendering for the trace signal
+    (logging_exporter.go:308-355): every span becomes the exact
+    indented text block the Go exporter writes at level=debug — the
+    oracle reassembles the identical string in SQL, so one
+    mis-padded label, wrong enum name, or drifted Go-time format
+    breaks the value hash."""
+    from ..sinks.logging_exporter import format_spans_debug
+
+    return format_spans_debug(_spans(spark, sf_dir))
+
+
+def _oracle_logging_exporter_spans() -> str:
+    def attr(label: str, value_sql: str) -> str:
+        return f"chr(10) || '    {label.ljust(15)}: ' || {value_sql}"
+
+    return (
+        _SPANS_SQL
+        + """
+SELECT trace_id, span_id,
+  'Span #' || CAST(row_number() OVER (PARTITION BY trace_id ORDER BY turn_idx) - 1 AS VARCHAR)
+  || """
+        + " || ".join(
+            [
+                attr("Trace ID", "md5(trace_id)"),
+                attr("Parent ID", "coalesce(parent_span_id, '')"),
+                attr("ID", "span_id"),
+                attr("Name", "name"),
+                attr("Kind", "'SPAN_KIND_' || kind"),
+                attr("Start time", "(" + _go_time_sql("start_us") + ")"),
+                attr("End time", "(" + _go_time_sql("end_us") + ")"),
+                attr(
+                    "Status code",
+                    "CASE status_code WHEN 2 THEN 'STATUS_CODE_ERROR' ELSE 'STATUS_CODE_UNSET' END",
+                ),
+                attr("Status message", "''"),
+            ]
+        )
+        + " AS debug\nFROM sp"
+    )
+
+
+def q_logging_exporter_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """loggingexporter debug rendering for the log signal
+    (logging_exporter.go:453-487, logLogRecord at 216-222): raw-nanos
+    Timestamp line, severity text, body, and the sorted-key attribute
+    map built from the parse stage's extracted fields."""
+    from ..sinks.logging_exporter import format_logs_debug
+    from .pipeline import parse_stage
+
+    t = _derive_transcripts(spark, sf_dir)
+    return format_logs_debug(parse_stage(t, engine="jvm"))
+
+
+def _oracle_logging_exporter_logs() -> str:
+    return f"""
+WITH t AS ({_TRANSCRIPTS_FROM_EVENTS}),
+p AS (
+  SELECT conv_id, turn_idx, role, text, ts,
+         regexp_extract(text, '\\[(\\w+)\\]', 1) AS level,
+         regexp_extract(text, '\\] (\\w+):', 1) AS component,
+         regexp_extract(text, 'duration=(\\d+)ms', 1) AS duration_ms
+  FROM t
+)
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx,
+  'LogRecord #' || CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS VARCHAR)
+  || chr(10) || 'Timestamp: ' || CAST(epoch_us(ts) * 1000 AS VARCHAR)
+  || chr(10) || 'Severity: ' || upper(level)
+  || chr(10) || 'ShortName: ' || component
+  || chr(10) || 'Body: ' || text
+  || chr(10) || 'Attributes:'
+  || chr(10) || '     -> component: STRING(' || component || ')'
+  || chr(10) || '     -> duration_ms: STRING(' || duration_ms || ')'
+  || chr(10) || '     -> role: STRING(' || role || ')'
+  AS debug
+FROM p
+"""
+
+
 OP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "logging_exporter_spans": q_logging_exporter_spans,
+    "logging_exporter_logs": q_logging_exporter_logs,
     "expr_filter_metrics": q_expr_filter_metrics,
     "resource_processor": q_resource_processor,
     "resource_to_label": q_resource_to_label,
@@ -656,6 +754,8 @@ OP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 OP_ORACLES: dict[str, str] = {
+    "logging_exporter_spans": _oracle_logging_exporter_spans(),
+    "logging_exporter_logs": _oracle_logging_exporter_logs(),
     "expr_filter_metrics": _oracle_expr_filter_metrics(),
     "resource_processor": _oracle_resource_processor(),
     "resource_to_label": _oracle_resource_to_label(),

@@ -2,5 +2,19 @@
 lineage, obsreport-style metrics, and idempotent resume."""
 
 from .warehouse import Warehouse, SinkResult, run_and_write
+from .logging_exporter import (
+    logging_exporter,
+    format_spans_debug,
+    format_logs_debug,
+    go_time_string,
+)
 
-__all__ = ["Warehouse", "SinkResult", "run_and_write"]
+__all__ = [
+    "Warehouse",
+    "SinkResult",
+    "run_and_write",
+    "logging_exporter",
+    "format_spans_debug",
+    "format_logs_debug",
+    "go_time_string",
+]
