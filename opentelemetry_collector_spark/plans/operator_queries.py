@@ -729,9 +729,89 @@ FROM p
 """
 
 
+# datapoints from events with a per-point event_id label: exercises
+# the Data-point-labels rendering AND gives #i numbering a total
+# order (ts alone can collide across users)
+_LABELED_DPS_SQL = """
+SELECT
+  'events.' || event_type AS name,
+  CASE WHEN event_type IN ('click', 'view') THEN 'IntSum' ELSE 'DoubleSum' END
+    AS data_type,
+  CASE WHEN event_type IN ('click', 'view') THEN 'DELTA' ELSE 'CUMULATIVE' END
+    AS temporality,
+  ts,
+  event_id,
+  CASE WHEN event_type IN ('click', 'view')
+       THEN CAST(floor(value) AS BIGINT) END AS int_value,
+  CASE WHEN NOT event_type IN ('click', 'view')
+       THEN CAST(round(value, 6) AS DOUBLE) END AS double_value
+FROM events
+"""
+
+
+def q_logging_exporter_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """loggingexporter debug rendering for the metric signal
+    (logging_exporter.go:357-390): descriptor block on each metric's
+    first point, labeled int/double datapoint blocks after — the
+    oracle reassembles the exact text including the %f double
+    rendering and proto temporality enum names."""
+    from ..sinks.logging_exporter import format_metrics_debug
+
+    _register(spark, sf_dir, "events")
+    dps = (
+        spark.sql(_LABELED_DPS_SQL)
+        .withColumn(
+            "labels",
+            F.create_map(F.lit("event_id"), F.col("event_id").cast("string")),
+        )
+        .drop("event_id")
+    )
+    return format_metrics_debug(
+        dps, point_order=F.col("labels")["event_id"].cast("long")
+    )
+
+
+def _oracle_logging_exporter_metrics() -> str:
+    point_value = (
+        "CASE WHEN int_value IS NOT NULL THEN CAST(int_value AS VARCHAR)"
+        " ELSE printf('%f', double_value) END"
+    )
+    return f"""
+WITH dp AS ({_LABELED_DPS_SQL}),
+idx AS (
+  SELECT *,
+         dense_rank() OVER (ORDER BY name) - 1 AS metric_idx,
+         row_number() OVER (PARTITION BY name ORDER BY ts, event_id) - 1 AS dp_idx
+  FROM dp
+)
+SELECT name, CAST(dp_idx AS INT) AS dp_idx,
+  CASE WHEN dp_idx = 0 THEN
+    'Metric #' || CAST(metric_idx AS VARCHAR)
+    || chr(10) || 'Descriptor:'
+    || chr(10) || '     -> Name: ' || name
+    || chr(10) || '     -> Description: '
+    || chr(10) || '     -> Unit: '
+    || chr(10) || '     -> DataType: ' || data_type
+    || chr(10) || '     -> IsMonotonic: false'
+    || chr(10) || '     -> AggregationTemporality: AGGREGATION_TEMPORALITY_' || temporality
+    || chr(10)
+  ELSE '' END
+  || CASE WHEN int_value IS NOT NULL THEN 'IntDataPoints' ELSE 'DoubleDataPoints' END
+  || ' #' || CAST(dp_idx AS VARCHAR)
+  || chr(10) || 'Data point labels:'
+  || chr(10) || '     -> event_id: ' || CAST(event_id AS VARCHAR)
+  || chr(10) || 'StartTime: 0'
+  || chr(10) || 'Timestamp: ' || CAST(epoch_us(ts) * 1000 AS VARCHAR)
+  || chr(10) || 'Value: ' || {point_value}
+  AS debug
+FROM idx
+"""
+
+
 OP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "logging_exporter_spans": q_logging_exporter_spans,
     "logging_exporter_logs": q_logging_exporter_logs,
+    "logging_exporter_metrics": q_logging_exporter_metrics,
     "expr_filter_metrics": q_expr_filter_metrics,
     "resource_processor": q_resource_processor,
     "resource_to_label": q_resource_to_label,
@@ -756,6 +836,7 @@ OP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 OP_ORACLES: dict[str, str] = {
     "logging_exporter_spans": _oracle_logging_exporter_spans(),
     "logging_exporter_logs": _oracle_logging_exporter_logs(),
+    "logging_exporter_metrics": _oracle_logging_exporter_metrics(),
     "expr_filter_metrics": _oracle_expr_filter_metrics(),
     "resource_processor": _oracle_resource_processor(),
     "resource_to_label": _oracle_resource_to_label(),

@@ -6,6 +6,7 @@ from .logging_exporter import (
     logging_exporter,
     format_spans_debug,
     format_logs_debug,
+    format_metrics_debug,
     go_time_string,
 )
 
@@ -16,5 +17,6 @@ __all__ = [
     "logging_exporter",
     "format_spans_debug",
     "format_logs_debug",
+    "format_metrics_debug",
     "go_time_string",
 ]

@@ -162,21 +162,153 @@ def format_logs_debug(
     )
 
 
+def format_metrics_debug(dps: DataFrame, point_order: Column | None = None) -> DataFrame:
+    """Per-datapoint debug block (pushMetricsData, logging_exporter.go:
+    367-390 → logMetricDescriptor:75-81, logMetricDataPoints:83-113,
+    logIntDataPoints/logDoubleDataPoints:115-137).
+
+    The Go buffer interleaves one ``Metric #k / Descriptor:`` header
+    before each metric's points; here the header renders on the FIRST
+    datapoint row of each metric (the full buffer is the dp_idx-ordered
+    concatenation), keeping row-per-datapoint granularity — a metric
+    with 10^9 points must not become one driver-sized string.
+
+    Covers the gauge and sum types of the flat datapoint model
+    (operators/metrics.DATAPOINT_SCHEMA); histograms/summaries carry
+    bounds/quantiles the flat model doesn't, so they are rejected
+    loudly rather than rendered wrong. Description/Unit/StartTime are
+    absent from the model and render as their Go zero values (empty /
+    0); IsMonotonic likewise renders the bool zero value ``false``.
+
+    ``point_order``: total-order tiebreak column(s) within a metric
+    (defaults to ts — pass something unique when timestamps can
+    collide, or the #i numbering is nondeterministic)."""
+    sums = ("IntSum", "DoubleSum")
+    supported = ("IntGauge", "DoubleGauge") + sums
+
+    # Metric #k: dense rank over the (low-cardinality) distinct metric
+    # names — ranked on the tiny distinct frame and broadcast back,
+    # never a global window over the datapoint table
+    names = dps.select("name", "data_type", "temporality").distinct()
+    w_names = Window.orderBy("name")
+    names = names.withColumn("_metric_idx", F.row_number().over(w_names) - 1)
+
+    order = [F.col("ts")] + ([point_order] if point_order is not None else [])
+    w_dp = Window.partitionBy("name").orderBy(*order)
+
+    is_int = F.col("data_type").isin("IntGauge", "IntSum")
+    points_label = F.when(is_int, F.lit("IntDataPoints")).otherwise(F.lit("DoubleDataPoints"))
+    value = F.when(
+        is_int, F.col("int_value").cast("string")
+    ).otherwise(F.format_string("%f", F.col("double_value")))
+
+    descriptor = F.concat_ws(
+        "\n",
+        F.format_string("Metric #%d", F.col("_metric_idx")),
+        F.lit("Descriptor:"),
+        F.format_string("     -> Name: %s", F.col("name")),
+        F.lit("     -> Description: "),
+        F.lit("     -> Unit: "),
+        F.format_string("     -> DataType: %s", F.col("data_type")),
+    )
+    sum_lines = F.when(
+        F.col("data_type").isin(*sums),
+        F.concat(
+            F.lit("\n     -> IsMonotonic: false"),
+            F.format_string(
+                "\n     -> AggregationTemporality: AGGREGATION_TEMPORALITY_%s",
+                F.col("temporality"),
+            ),
+        ),
+    ).otherwise(F.lit(""))
+
+    dp_idx = F.row_number().over(w_dp) - 1
+    point = F.concat(
+        F.concat_ws(
+            "\n",
+            F.format_string("%s #%d", points_label, dp_idx),
+        ),
+        _string_map_block("Data point labels", F.col("labels")),
+        F.concat_ws(
+            "\n",
+            F.lit(""),
+            F.lit("StartTime: 0"),
+            F.format_string(
+                "Timestamp: %d", F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+            ),
+            F.format_string("Value: %s", value),
+        ),
+    )
+
+    out = (
+        dps.join(F.broadcast(names), ["name", "data_type", "temporality"])
+        .withColumn("_dp_idx", dp_idx)
+        .withColumn(
+            "debug",
+            F.concat(
+                F.when(
+                    F.col("_dp_idx") == 0, F.concat(descriptor, sum_lines, F.lit("\n"))
+                ).otherwise(F.lit("")),
+                point,
+            ),
+        )
+    )
+    bad = ~F.col("data_type").isin(*supported)
+    out = out.withColumn(
+        "debug",
+        F.when(
+            bad,
+            F.raise_error(
+                F.concat(
+                    F.lit("format_metrics_debug: unsupported data_type "),
+                    F.col("data_type"),
+                    F.lit(" (histogram/summary need the tree model)"),
+                )
+            ),
+        ).otherwise(F.col("debug")),
+    )
+    return out.select("name", F.col("_dp_idx").alias("dp_idx"), "debug")
+
+
+def _string_map_block(label: str, sm: Column) -> Column:
+    """``logStringMap`` (logging_exporter.go:57-66): like the
+    attribute map but untyped values (``     -> k: v``); empty map
+    renders nothing."""
+    entries = F.sort_array(F.map_entries(sm))
+    lines = F.transform(
+        entries, lambda e: F.format_string("     -> %s: %s", e["key"], e["value"])
+    )
+    return F.when(
+        F.size(entries) > 0,
+        F.concat(F.lit(f"\n{label}:\n"), F.array_join(lines, "\n")),
+    ).otherwise(F.lit(""))
+
+
 def logging_exporter(df: DataFrame, signal: str, level: str = "info") -> dict:
     """The exporter surface: drops the data, returns the info line as a
-    1-row count frame (``TracesExporter #spans N``), and at
-    level='debug' also the rendered per-item blocks (lazy — nothing is
-    collected here)."""
-    names = {"traces": ("TracesExporter", "#spans"), "logs": ("LogsExporter", "#logs")}
+    1-row count frame (``TracesExporter #spans N``; the metrics line
+    counts METRICS, not datapoints — MetricCount semantics,
+    logging_exporter.go:361), and at level='debug' also the rendered
+    per-item blocks (lazy — nothing is collected here)."""
+    names = {
+        "traces": ("TracesExporter", "#spans"),
+        "logs": ("LogsExporter", "#logs"),
+        "metrics": ("MetricsExporter", "#metrics"),
+    }
     if signal not in names:
         raise ValueError(f"unknown signal {signal!r}")
     exporter, counter = names[signal]
+    n = F.count_distinct(F.col("name")) if signal == "metrics" else F.count(F.lit(1))
     summary = df.agg(
         F.lit(exporter).alias("exporter"),
         F.lit(counter).alias("counter"),
-        F.count(F.lit(1)).alias("n"),
+        n.alias("n"),
     )
     debug = None
     if level.lower() == "debug":
-        debug = format_spans_debug(df) if signal == "traces" else format_logs_debug(df)
+        debug = {
+            "traces": format_spans_debug,
+            "logs": format_logs_debug,
+            "metrics": format_metrics_debug,
+        }[signal](df)
     return {"summary": summary, "debug": debug}

@@ -43,3 +43,27 @@ class TestKafkaConfig:
             pytest.skip("kafka package present; gate not exercised")
         with pytest.raises(RuntimeError, match="spark-sql-kafka"):
             read_kafka_transcripts(spark, KafkaConfig(brokers=["b:9092"], topic="t"))
+
+    def test_e2e_gate_is_environmental_not_code(self):
+        """Why no Kafka round trip has ever executed here, recorded
+        mechanically: the spark-sql-kafka jar is not in the local
+        Spark distribution AND the sandbox has no network to fetch it
+        (or to reach a broker). If either probe starts passing, this
+        test fails — the signal to replace the gate with a real
+        readStream→writeStream round trip."""
+        import glob
+        import os
+        import socket
+
+        import pyspark
+
+        jars = glob.glob(
+            os.path.join(os.path.dirname(pyspark.__file__), "jars", "*kafka*")
+        )
+        assert not jars, f"kafka jar now present: {jars} — wire the e2e test"
+        try:
+            socket.create_connection(("repo1.maven.org", 443), timeout=3).close()
+            reachable = True
+        except OSError:
+            reachable = False
+        assert not reachable, "network now reachable — fetch the jar and wire e2e"

@@ -174,4 +174,77 @@ class TestExporterSurface:
         assert logs["debug"].count() == tiny_transcripts.count()
 
         with pytest.raises(ValueError, match="unknown signal"):
-            logging_exporter(spans, "metrics")
+            logging_exporter(spans, "profiles")
+
+
+class TestMetricsBlock:
+    def _dps(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "name string, data_type string, temporality string,"
+            " labels map<string,string>, ts timestamp,"
+            " int_value long, double_value double",
+        )
+
+    def test_descriptor_on_first_point_only(self, spark):
+        from opentelemetry_collector_spark.sinks import format_metrics_debug
+
+        df = self._dps(
+            spark,
+            [
+                ("m.a", "IntSum", "DELTA", {"k": "1"}, _utc(2020, 1, 1, 0, 0, 0), 7, None),
+                ("m.a", "IntSum", "DELTA", {"k": "2"}, _utc(2020, 1, 1, 0, 0, 1), 9, None),
+                ("m.b", "DoubleGauge", "UNSPECIFIED", {}, _utc(2020, 1, 1), None, 2.5),
+            ],
+        )
+        rows = {
+            (r["name"], r["dp_idx"]): r["debug"]
+            for r in format_metrics_debug(df).collect()
+        }
+        assert rows[("m.a", 0)] == "\n".join(
+            [
+                "Metric #0",
+                "Descriptor:",
+                "     -> Name: m.a",
+                "     -> Description: ",
+                "     -> Unit: ",
+                "     -> DataType: IntSum",
+                "     -> IsMonotonic: false",
+                "     -> AggregationTemporality: AGGREGATION_TEMPORALITY_DELTA",
+                "IntDataPoints #0",
+                "Data point labels:",
+                "     -> k: 1",
+                "StartTime: 0",
+                "Timestamp: 1577836800000000000",
+                "Value: 7",
+            ]
+        )
+        # second point: NO descriptor, just the point block
+        assert rows[("m.a", 1)].startswith("IntDataPoints #1\n")
+        assert "Descriptor" not in rows[("m.a", 1)]
+        # gauge: no monotonic/temporality lines, %f double rendering,
+        # empty labels render nothing
+        assert rows[("m.b", 0)] == "\n".join(
+            [
+                "Metric #1",
+                "Descriptor:",
+                "     -> Name: m.b",
+                "     -> Description: ",
+                "     -> Unit: ",
+                "     -> DataType: DoubleGauge",
+                "DoubleDataPoints #0",
+                "StartTime: 0",
+                "Timestamp: 1577836800000000000",
+                "Value: 2.500000",
+            ]
+        )
+
+    def test_histogram_rejected_loudly(self, spark):
+        from opentelemetry_collector_spark.sinks import format_metrics_debug
+
+        df = self._dps(
+            spark,
+            [("m.h", "DoubleHistogram", "DELTA", {}, _utc(2020, 1, 1), None, 1.0)],
+        )
+        with pytest.raises(Exception, match="unsupported data_type"):
+            format_metrics_debug(df).collect()
