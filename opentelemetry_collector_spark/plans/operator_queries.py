@@ -405,6 +405,18 @@ def q_jaeger_thrift_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zipkin_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipkin v2 binary protobuf wire identity (ListOfSpans — the
+    application/x-protobuf payload the Zipkin receiver parses,
+    receiver/zipkinreceiver/trace_receiver.go:166-171): raw-byte ids,
+    fixed64 micro timestamps, map<string,string> tags."""
+    from ..sources.zipkin_proto import spans_to_zipkin_proto, zipkin_proto_to_spans
+
+    return _span_roundtrip_select(
+        zipkin_proto_to_spans(spans_to_zipkin_proto(_spans(spark, sf_dir)))
+    )
+
+
 def q_jaeger_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jaeger PROTOBUF Batch wire identity (jaegerproto_to_traces.go /
     traces_to_jaegerproto.go): span table → binary model.proto Batch
@@ -533,6 +545,18 @@ def q_otlp_metrics_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_otlp_metrics_roundtrip() -> str:
     return _DP_ORACLE_BASE
+
+
+def q_otlp_metrics_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-wire sibling of otlp_metrics_roundtrip: datapoints →
+    ExportMetricsServiceRequest binary protobuf (fixed64 values/nanos,
+    StringKeyValue labels, temporality enum — metrics.pb.go:293-390,
+    889-1012) → back through the shared JSON semantic layer."""
+    from ..sources.otlp_proto import metrics_from_otlp_proto, metrics_to_otlp_proto
+
+    dps = _dp_rows(spark, sf_dir)
+    back = metrics_from_otlp_proto(metrics_to_otlp_proto(dps))
+    return _dp_roundtrip_select(back)
 
 
 # ---------------------------------------------------------------------------
@@ -825,11 +849,13 @@ OP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zipkin_thrift_roundtrip": q_zipkin_thrift_roundtrip,
     "jaeger_thrift_roundtrip": q_jaeger_thrift_roundtrip,
     "jaeger_proto_roundtrip": q_jaeger_proto_roundtrip,
+    "zipkin_proto_roundtrip": q_zipkin_proto_roundtrip,
     "otlp_proto_roundtrip": q_otlp_proto_roundtrip,
     "otlp_traces_proto_roundtrip": q_otlp_traces_proto_roundtrip,
     "oc_roundtrip": q_oc_roundtrip,
     "oc_metrics_roundtrip": q_oc_metrics_roundtrip,
     "otlp_metrics_roundtrip": q_otlp_metrics_roundtrip,
+    "otlp_metrics_proto_roundtrip": q_otlp_metrics_proto_roundtrip,
     "config_pipeline": q_config_pipeline,
 }
 
@@ -850,10 +876,12 @@ OP_ORACLES: dict[str, str] = {
     "zipkin_thrift_roundtrip": _SPAN_ORACLE,
     "jaeger_thrift_roundtrip": _SPAN_ORACLE,
     "jaeger_proto_roundtrip": _SPAN_ORACLE,
+    "zipkin_proto_roundtrip": _SPAN_ORACLE,
     "otlp_proto_roundtrip": _oracle_otlp_roundtrip(),
     "otlp_traces_proto_roundtrip": _SPAN_ORACLE,
     "oc_roundtrip": _SPAN_ORACLE,
     "oc_metrics_roundtrip": _oracle_oc_metrics_roundtrip(),
     "otlp_metrics_roundtrip": _oracle_otlp_metrics_roundtrip(),
+    "otlp_metrics_proto_roundtrip": _oracle_otlp_metrics_roundtrip(),
     "config_pipeline": _oracle_config_pipeline(),
 }

@@ -418,3 +418,230 @@ def otlp_proto_to_spans(df: DataFrame, bin_col: str = "proto") -> DataFrame:
     from .otlp_json import otlp_json_to_spans
 
     return otlp_json_to_spans(_proto_to_json(df, bin_col, decode_traces_request))
+
+
+# ---------------------------------------------------------------------------
+# metric signal (metrics.pb.go:293-390 tagged-union Metric,
+# IntDataPoint:889-914 / DoubleDataPoint:987-1012 — note the v0.17
+# vintage encodes datapoint values and nanos as FIXED64, not varint)
+# ---------------------------------------------------------------------------
+
+_TEMPORALITY_ENUM = {
+    "AGGREGATION_TEMPORALITY_UNSPECIFIED": 0,
+    "AGGREGATION_TEMPORALITY_DELTA": 1,
+    "AGGREGATION_TEMPORALITY_CUMULATIVE": 2,
+}
+_TEMPORALITY_BY_ENUM = {v: k for k, v in _TEMPORALITY_ENUM.items()}
+
+
+def _read_string_kv(r: Reader) -> dict:
+    kv = {"key": "", "value": ""}
+    for fid, wt in r.fields():
+        if fid == 1 and wt == LEN:
+            kv["key"] = r.string()
+        elif fid == 2 and wt == LEN:
+            kv["value"] = r.string()
+        else:
+            r.skip(wt)
+    return kv
+
+
+def _write_string_kv(kv: dict) -> Writer:
+    w = Writer()
+    w.string(1, kv.get("key") or "")
+    w.string(2, kv.get("value") or "")
+    return w
+
+
+def _read_number_dp(r: Reader, int_side: bool) -> dict:
+    # proto3 zero-elision: absent fields restore their jsonpb defaults
+    dp: dict = {"timeUnixNano": "0", "value": "0" if int_side else 0.0}
+    labels: list = []
+    for fid, wt in r.fields():
+        if fid == 1 and wt == LEN:
+            labels.append(_read_string_kv(r.message()))
+        elif fid == 2 and wt == FIXED64:
+            dp["startTimeUnixNano"] = str(r.fixed64())
+        elif fid == 3 and wt == FIXED64:
+            dp["timeUnixNano"] = str(r.fixed64())
+        elif fid == 4 and wt == FIXED64:
+            if int_side:
+                v = r.fixed64()  # sfixed64 (Go int64 with fixed64 tag)
+                dp["value"] = str(v - (1 << 64) if v >= 1 << 63 else v)
+            else:
+                dp["value"] = r.double()
+        else:
+            r.skip(wt)
+    if labels:
+        dp["labels"] = labels
+    return dp
+
+
+def _write_number_dp(dp: dict, int_side: bool) -> Writer:
+    w = Writer()
+    for kv in dp.get("labels") or []:
+        w.message(1, _write_string_kv(kv), keep_empty=True)
+    w.fixed64(2, int(dp.get("startTimeUnixNano") or 0))
+    w.fixed64(3, int(dp.get("timeUnixNano") or 0))
+    if int_side:
+        v = int(dp.get("value") or 0)
+        w.fixed64(4, v + (1 << 64) if v < 0 else v)
+    else:
+        w.double(4, float(dp.get("value") or 0.0))
+    return w
+
+
+def _read_gauge(r: Reader, int_side: bool) -> dict:
+    dps = []
+    for fid, wt in r.fields():
+        if fid == 1 and wt == LEN:
+            dps.append(_read_number_dp(r.message(), int_side))
+        else:
+            r.skip(wt)
+    return {"dataPoints": dps}
+
+
+def _read_sum(r: Reader, int_side: bool) -> dict:
+    out: dict = {"dataPoints": []}
+    for fid, wt in r.fields():
+        if fid == 1 and wt == LEN:
+            out["dataPoints"].append(_read_number_dp(r.message(), int_side))
+        elif fid == 2 and wt == VARINT:
+            name = _TEMPORALITY_BY_ENUM.get(r.varint())
+            if name and name != "AGGREGATION_TEMPORALITY_UNSPECIFIED":
+                out["aggregationTemporality"] = name
+        elif fid == 3 and wt == VARINT:
+            out["isMonotonic"] = bool(r.varint())
+        else:
+            r.skip(wt)
+    return out
+
+
+def _write_points(w: Writer, payload: dict, int_side: bool) -> None:
+    for dp in payload.get("dataPoints") or []:
+        w.message(1, _write_number_dp(dp, int_side), keep_empty=True)
+
+
+def _read_metric(r: Reader) -> dict:
+    m: dict = {}
+    for fid, wt in r.fields():
+        if fid == 1 and wt == LEN:
+            m["name"] = r.string()
+        elif fid == 2 and wt == LEN:
+            m["description"] = r.string()
+        elif fid == 3 and wt == LEN:
+            m["unit"] = r.string()
+        elif fid == 4 and wt == LEN:
+            m["intGauge"] = _read_gauge(r.message(), True)
+        elif fid == 5 and wt == LEN:
+            m["doubleGauge"] = _read_gauge(r.message(), False)
+        elif fid == 6 and wt == LEN:
+            m["intSum"] = _read_sum(r.message(), True)
+        elif fid == 7 and wt == LEN:
+            m["doubleSum"] = _read_sum(r.message(), False)
+        else:
+            r.skip(wt)
+    return m
+
+
+def _write_metric(m: dict) -> Writer:
+    w = Writer()
+    w.string(1, m.get("name") or "")
+    w.string(2, m.get("description") or "")
+    w.string(3, m.get("unit") or "")
+    unions = (
+        (4, "intGauge", True, False),
+        (5, "doubleGauge", False, False),
+        (6, "intSum", True, True),
+        (7, "doubleSum", False, True),
+    )
+    for fid, key, int_side, is_sum in unions:
+        payload = m.get(key)
+        if payload is None:
+            continue
+        pw = Writer()
+        _write_points(pw, payload, int_side)
+        if is_sum:
+            pw.int_(
+                2, _TEMPORALITY_ENUM.get(payload.get("aggregationTemporality") or "", 0)
+            )
+            pw.bool_(3, bool(payload.get("isMonotonic")))
+        w.message(fid, pw, keep_empty=True)
+    return w
+
+
+def encode_metrics_request(metrics: list[dict]) -> bytes:
+    """jsonpb-shaped Metric dicts → binary ExportMetricsServiceRequest
+    (metrics_service.pb.go: resource_metrics=1 → ResourceMetrics
+    {resource=1, instrumentation_library_metrics=2} → ILM
+    {instrumentation_library=1, metrics=2}); one ResourceMetrics/ILM
+    wrapping, mirroring the logs/traces encoders' one-group-per-blob
+    layout."""
+    w = Writer()
+    rm_w = Writer()
+    ilm_w = Writer()
+    for m in metrics:
+        ilm_w.message(2, _write_metric(m), keep_empty=True)
+    rm_w.message(2, ilm_w, keep_empty=True)
+    w.message(1, rm_w, keep_empty=True)
+    return bytes(w.out)
+
+
+def decode_metrics_request(blob: bytes) -> list[dict]:
+    """Binary ExportMetricsServiceRequest → list of jsonpb-shaped
+    Metric dicts (the granularity of sources/otlp_json's metric
+    lines), walking every ResourceMetrics/ILM group."""
+    metrics: list[dict] = []
+    r = Reader(blob)
+    for fid, wt in r.fields():
+        if fid == 1 and wt == LEN:
+            rm_r = r.message()
+            for rfid, rwt in rm_r.fields():
+                if rfid == 2 and rwt == LEN:
+                    ilm_r = rm_r.message()
+                    for ifid, iwt in ilm_r.fields():
+                        if ifid == 2 and iwt == LEN:
+                            metrics.append(_read_metric(ilm_r.message()))
+                        else:
+                            ilm_r.skip(iwt)
+                else:
+                    rm_r.skip(rwt)
+        else:
+            r.skip(wt)
+    return metrics
+
+
+def metrics_to_otlp_proto(dps: DataFrame) -> DataFrame:
+    """Datapoint rows → one binary ExportMetricsServiceRequest blob
+    per metric (the otlp exporter's metric wire payload)."""
+    from .otlp_json import metrics_to_otlp_json
+
+    j = metrics_to_otlp_json(dps)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = [
+                encode_metrics_request([json.loads(line)]) for line in pdf["otlp"]
+            ]
+            yield pd.DataFrame({"proto": blobs})
+
+    return j.mapInPandas(encode, schema="proto binary")
+
+
+def metrics_from_otlp_proto(df: DataFrame, bin_col: str = "proto") -> DataFrame:
+    """Binary OTLP metrics request blobs → datapoint rows; a request
+    carrying several metrics fans out to several Metric lines before
+    the shared JSON semantic layer."""
+    from .otlp_json import metrics_from_otlp_json
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lines = [
+                json.dumps(m)
+                for blob in pdf[bin_col]
+                if blob is not None
+                for m in decode_metrics_request(bytes(blob))
+            ]
+            yield pd.DataFrame({"otlp": lines})
+
+    return metrics_from_otlp_json(df.mapInPandas(decode, schema="otlp string"))

@@ -142,8 +142,18 @@ def _otlp_traces_proto(sp):
     return otlp_proto_to_spans(spans_to_otlp_proto(sp))
 
 
+def _zipkin_proto(sp):
+    from opentelemetry_collector_spark.sources.zipkin_proto import (
+        spans_to_zipkin_proto,
+        zipkin_proto_to_spans,
+    )
+
+    return zipkin_proto_to_spans(spans_to_zipkin_proto(sp))
+
+
 ROUND_TRIPS = {
     "otlp_traces": _otlp_traces,
+    "zipkin_proto": _zipkin_proto,
     "otlp_traces_proto": _otlp_traces_proto,
     "jaeger_proto": _jaeger_proto,
     "zipkin_v2": lambda sp: zipkin_json_to_spans(spans_to_zipkin_json(sp)),
@@ -214,3 +224,90 @@ class TestGoldenLogsRoundTrip:
         )
         assert canon(back).subtract(canon(df)).count() == 0
         assert canon(df).subtract(canon(back)).count() == 0
+
+
+class TestGoldenMetricsRoundTrip:
+    """Combinatorial datapoint corpus through the OTLP metric tree in
+    BOTH wire forms (protobuf-JSON and binary protobuf): every union
+    arm × label presence × value sign/magnitude class, exhaustive
+    like the span corpus."""
+
+    ARMS = [
+        ("IntGauge", "UNSPECIFIED"),
+        ("DoubleGauge", "UNSPECIFIED"),
+        ("IntSum", "DELTA"),
+        ("IntSum", "CUMULATIVE"),
+        ("DoubleSum", "DELTA"),
+        ("DoubleSum", "CUMULATIVE"),
+    ]
+    INT_VALUES = [0, 1, -1, 2**53, -(2**53)]
+    DOUBLE_VALUES = [0.0, 0.25, -1.5, 123456.789012]
+    LABELS = [{}, {"k": "v"}, {"uni": 'q" \n日本語', "b": "2"}]
+
+    def _golden_dps(self, spark):
+        rows = []
+        i = 0
+        for (dtype, temp), labels in itertools.product(self.ARMS, self.LABELS):
+            values = self.INT_VALUES if dtype.startswith("Int") else self.DOUBLE_VALUES
+            for v in values:
+                rows.append(
+                    (
+                        f"golden.{dtype}.{temp}",
+                        dtype,
+                        temp,
+                        labels,
+                        BASE_US + i * 1_000_003,
+                        v if dtype.startswith("Int") else None,
+                        None if dtype.startswith("Int") else v,
+                    )
+                )
+                i += 1
+        return spark.createDataFrame(
+            rows,
+            "name string, data_type string, temporality string,"
+            " labels map<string,string>, ts_us long, int_value long,"
+            " double_value double",
+        ).select(
+            "name", "data_type", "temporality", "labels",
+            F.timestamp_micros("ts_us").alias("ts"),
+            "int_value", "double_value",
+        )
+
+    @pytest.mark.parametrize("wire", ["json", "proto"])
+    def test_every_field_survives(self, spark, wire):
+        from opentelemetry_collector_spark.sources.otlp_json import (
+            metrics_from_otlp_json,
+            metrics_to_otlp_json,
+        )
+        from opentelemetry_collector_spark.sources.otlp_proto import (
+            metrics_from_otlp_proto,
+            metrics_to_otlp_proto,
+        )
+
+        dps = self._golden_dps(spark)
+        if wire == "json":
+            back = metrics_from_otlp_json(metrics_to_otlp_json(dps))
+        else:
+            back = metrics_from_otlp_proto(metrics_to_otlp_proto(dps))
+
+        def canon(d):
+            return d.select(
+                "name", "data_type", "temporality",
+                F.to_json(F.transform(
+                    F.sort_array(F.map_entries(F.coalesce(
+                        F.col("labels"),
+                        F.expr("map()").cast("map<string,string>"),
+                    ))),
+                    lambda e: F.struct(e["key"].alias("k"), e["value"].alias("v")),
+                )).alias("labels_c"),
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+                "int_value", "double_value",
+            )
+
+        want, got = canon(dps), canon(back)
+        assert got.count() == want.count()
+        missing, extra = want.subtract(got), got.subtract(want)
+        if missing.count() or extra.count():
+            detail = [r.asDict() for r in missing.limit(3).collect()]
+            detail += [r.asDict() for r in extra.limit(3).collect()]
+            pytest.fail(f"metrics {wire} field diff (sample): {detail}")

@@ -22,11 +22,15 @@ from opentelemetry_collector_spark.sources.jaeger_proto import (
 )
 from opentelemetry_collector_spark.sources.otlp_proto import (
     decode_logs_request,
+    decode_metrics_request,
     decode_traces_request,
     encode_logs_request,
+    encode_metrics_request,
     encode_traces_request,
     logs_from_otlp_proto,
     logs_to_otlp_proto,
+    metrics_from_otlp_proto,
+    metrics_to_otlp_proto,
     otlp_proto_to_spans,
     spans_to_otlp_proto,
 )
@@ -181,6 +185,146 @@ class TestOtlpWire:
         assert encode_logs_request({"resourceLogs": []}) == b""
 
 
+METRICS = [
+    {
+        "name": "events.click",
+        "intSum": {
+            "dataPoints": [
+                {
+                    "labels": [{"key": "event_id", "value": "7"}],
+                    "timeUnixNano": "1700000000000000000",
+                    "value": "42",
+                },
+                {"timeUnixNano": "1700000001000000000", "value": "-3"},
+            ],
+            "aggregationTemporality": "AGGREGATION_TEMPORALITY_DELTA",
+            "isMonotonic": True,
+        },
+    },
+    {
+        "name": "events.purchase",
+        "doubleSum": {
+            "dataPoints": [
+                {"timeUnixNano": "1700000002000000000", "value": 123.456789}
+            ],
+            "aggregationTemporality": "AGGREGATION_TEMPORALITY_CUMULATIVE",
+            "isMonotonic": True,
+        },
+    },
+    {
+        "name": "events.gauge",
+        "doubleGauge": {
+            "dataPoints": [{"timeUnixNano": "1700000003000000000", "value": -0.5}]
+        },
+    },
+]
+
+
+class TestOtlpMetricsWire:
+    def test_round_trip_all_union_arms(self):
+        assert decode_metrics_request(encode_metrics_request(METRICS)) == METRICS
+
+    def test_negative_int_value_is_sfixed64(self):
+        # v0.17 IntDataPoint.Value is FIXED64-encoded int64
+        # (metrics.pb.go:911): -3 must survive as two's-complement
+        # fixed64, not a varint
+        one = [
+            {
+                "name": "m",
+                "intGauge": {
+                    "dataPoints": [{"timeUnixNano": "1", "value": "-3"}]
+                },
+            }
+        ]
+        blob = encode_metrics_request(one)
+        assert struct.pack("<Q", (1 << 64) - 3) in bytes(blob)
+        assert decode_metrics_request(blob) == one
+
+    def test_zero_defaults_restored(self):
+        # proto3 elides zero values; decode restores jsonpb defaults
+        one = [
+            {
+                "name": "m",
+                "intSum": {
+                    "dataPoints": [{"timeUnixNano": "0", "value": "0"}],
+                    "isMonotonic": True,
+                },
+            }
+        ]
+        assert decode_metrics_request(encode_metrics_request(one)) == one
+
+    def test_unknown_fields_skipped(self):
+        blob = bytearray(encode_metrics_request(METRICS))
+        unknown = Writer()
+        unknown.tag(99, FIXED64)
+        unknown.out += struct.pack("<Q", 0xDEADBEEF)
+        blob[0:0] = unknown.out
+        assert decode_metrics_request(bytes(blob)) == METRICS
+
+    def test_multi_metric_request_fans_out(self):
+        blob = encode_metrics_request(METRICS)
+        assert len(decode_metrics_request(blob)) == 3
+
+
+ZIPKIN_SPANS = [
+    {
+        "traceId": "7f6f5f4f3f2f1f0ff7f6f5f4f3f2f1f0",
+        "parentId": "f7f6f5f4f3f2f1f0",
+        "id": "6766656463626160",
+        "kind": "CONSUMER",
+        "name": "ProtoSpan1",
+        "timestamp": 1_700_000_000_123_456,
+        "duration": 12_000_000,
+        "localEndpoint": {"serviceName": "svc-1"},
+        "tags": {"conv_id": "conv-1", "turn_idx": "3"},
+    },
+    {
+        # root, INTERNAL (absent kind), zero duration
+        "traceId": "7a6a5a4a3a2a1a0ac7c6c5c4c3c2c1c0",
+        "id": "1716151413121110",
+        "name": "root ü 日本語",
+        "timestamp": 1_700_000_001_000_000,
+        "duration": 0,
+        "localEndpoint": {"serviceName": "transcripts"},
+    },
+]
+
+
+class TestZipkinProtoWire:
+    def test_round_trip(self):
+        from opentelemetry_collector_spark.sources.zipkin_proto import (
+            decode_list_of_spans,
+            encode_list_of_spans,
+        )
+
+        assert decode_list_of_spans(encode_list_of_spans(ZIPKIN_SPANS)) == ZIPKIN_SPANS
+
+    def test_ids_are_raw_bytes_and_timestamp_fixed64_micros(self):
+        # proto_parse_test.go:51-56 pins the wire: 16/8-byte raw ids,
+        # fixed64 MICROsecond timestamp
+        from opentelemetry_collector_spark.sources.zipkin_proto import (
+            encode_list_of_spans,
+        )
+
+        blob = encode_list_of_spans([ZIPKIN_SPANS[0]])
+        assert bytes.fromhex(ZIPKIN_SPANS[0]["traceId"]) in blob
+        assert bytes.fromhex(ZIPKIN_SPANS[0]["id"]) in blob
+        assert struct.pack("<Q", 1_700_000_000_123_456) in blob
+
+    def test_unknown_fields_skipped(self):
+        from opentelemetry_collector_spark.sources.zipkin_proto import (
+            decode_list_of_spans,
+            encode_list_of_spans,
+        )
+
+        blob = bytearray(encode_list_of_spans(ZIPKIN_SPANS))
+        unknown = Writer()
+        unknown.tag(12, VARINT)  # debug flag: real field, not modeled
+        unknown.varint(1)
+        blob.extend(unknown.out)
+        assert decode_list_of_spans(bytes(blob)) == ZIPKIN_SPANS
+
+
 class TestJaegerWire:
     SPAN = {
         "traceID": "00000000000004d200000000000010e1",
@@ -277,3 +421,45 @@ class TestSparkPath:
         assert back.count() == spans.count()
         assert back.select(SPAN_KEY).subtract(spans.select(SPAN_KEY)).count() == 0
         assert spans.select(SPAN_KEY).subtract(back.select(SPAN_KEY)).count() == 0
+
+    def test_zipkin_proto_round_trip(self, spark, spans):
+        from opentelemetry_collector_spark.sources.zipkin_proto import (
+            spans_to_zipkin_proto,
+            zipkin_proto_to_spans,
+        )
+
+        back = zipkin_proto_to_spans(spans_to_zipkin_proto(spans))
+        assert back.count() == spans.count()
+        # zipkin path md5-hashes the trace id (16-byte wire) — compare
+        # the stable non-derived key columns
+        key = [c for c in SPAN_KEY if c != "trace_id"]
+        assert back.select(key).subtract(spans.select(key)).count() == 0
+        assert spans.select(key).subtract(back.select(key)).count() == 0
+
+    def test_otlp_metrics_proto_round_trip(self, spark):
+        from pyspark.sql import functions as F
+
+        dps = spark.createDataFrame(
+            [
+                ("m.int", "IntSum", "DELTA", {"u": "1"}, 1_700_000_000_000_000, 5, None),
+                ("m.int", "IntSum", "DELTA", {"u": "2"}, 1_700_000_001_000_000, -2, None),
+                ("m.dbl", "DoubleSum", "CUMULATIVE", {}, 1_700_000_002_000_000, None, 9.25),
+                ("m.g", "DoubleGauge", "UNSPECIFIED", {}, 1_700_000_003_000_000, None, -0.5),
+            ],
+            "name string, data_type string, temporality string,"
+            " labels map<string,string>, ts_us long, int_value long,"
+            " double_value double",
+        ).withColumn("ts", F.timestamp_micros(F.col("ts_us"))).drop("ts_us")
+        back = metrics_from_otlp_proto(metrics_to_otlp_proto(dps))
+        cols = ["name", "data_type", "temporality", "int_value", "double_value"]
+        a = dps.select(*cols, F.unix_micros(F.col("ts")).alias("us"))
+        b = back.select(*cols, F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+        assert b.count() == a.count() == 4
+        assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+        # labels survive the StringKeyValue wire form
+        got = {
+            r["us"]: dict(r["labels"] or {})
+            for r in back.select("labels", F.unix_micros("ts").alias("us")).collect()
+        }
+        assert got[1_700_000_000_000_000] == {"u": "1"}
+        assert got[1_700_000_002_000_000] == {}
