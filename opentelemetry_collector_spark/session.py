@@ -45,16 +45,23 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
-    cpus=None → local[*]; otherwise local[cpus]. In cluster mode the
-    master is supplied by spark-submit and this factory only sets SQL conf.
+    cpus=None → local[*]; otherwise local[cpus]. ``master`` (or the
+    ``SPARK_GRAFT_MASTER`` env var) overrides with a cluster URL — e.g.
+    ``spark://host:7077`` for a standalone cluster (tools/cluster_bench.py)
+    — in which case ``cpus`` sizes only the shuffle partitioning and the
+    executor fleet is described via ``extra_conf`` (spark.executor.cores /
+    spark.cores.max), mirroring a spark-submit deployment.
     """
     if cpus is None:
         env = os.environ.get("SPARK_GRAFT_CPUS")
         cpus = int(env) if env else 0
-    master = f"local[{cpus}]" if cpus else "local[*]"
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or (
+        f"local[{cpus}]" if cpus else "local[*]"
+    )
     n_shuffle = shuffle_partitions or (cpus if cpus else (os.cpu_count() or 8))
 
     builder = (

@@ -188,7 +188,10 @@ def main() -> None:
         # worker) must not kill a multi-run campaign — retry once
         try:
             return run_at(cpus, path)
-        except RuntimeError:
+        except (RuntimeError, subprocess.TimeoutExpired):
+            # RuntimeError = worker subprocess died (socket reset class);
+            # TimeoutExpired = a leg wedged past 30 min (observed once on
+            # a contended box) — both must not kill a multi-run campaign
             print(f"leg at {cpus} cpus failed once — retrying", file=sys.stderr)
             time.sleep(30)
             return run_at(cpus, path)
