@@ -62,6 +62,12 @@ class Reader:
 
     def bytes_(self) -> bytes:
         n = self.varint()
+        if self.pos + n > self.end:
+            # strict: a slice would silently return SHORT data on a
+            # truncated buffer, or bleed past a sub-message bound into
+            # sibling fields — malformed payloads must error, not
+            # produce plausible garbage
+            raise ValueError("length-delimited field exceeds buffer")
         v = self.buf[self.pos : self.pos + n]
         self.pos += n
         return v
@@ -72,6 +78,8 @@ class Reader:
     def message(self) -> "Reader":
         """Length-delimited sub-message as a bounded sub-reader."""
         n = self.varint()
+        if self.pos + n > self.end:
+            raise ValueError("sub-message exceeds buffer")
         sub = Reader(self.buf, self.pos + n)
         sub.pos = self.pos
         self.pos += n
@@ -83,7 +91,11 @@ class Reader:
         elif wire_type == FIXED64:
             self.pos += 8
         elif wire_type == LEN:
-            self.pos += self.varint()
+            # read the length BEFORE adding: `pos += varint()` would
+            # evaluate the old pos first and lose the length prefix's
+            # own width, desyncing on every skipped LEN field
+            n = self.varint()
+            self.pos += n
         elif wire_type == FIXED32:
             self.pos += 4
         else:

@@ -44,6 +44,11 @@ class Reader:
 
     def binary(self) -> bytes:
         n = self.i32()
+        if n < 0 or self.pos + n > len(self.buf):
+            # strict: negative lengths (i32 is signed) would move the
+            # cursor BACKWARD — an infinite-loop vector on corrupt
+            # payloads — and oversized ones would silently truncate
+            raise ValueError("thrift binary length out of bounds")
         v = self.buf[self.pos : self.pos + n]
         self.pos += n
         return v

@@ -40,6 +40,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -272,6 +273,13 @@ class PipelineConfig:
     # parse+enrich DAG (the Arrow parse UDF would execute N_sinks+N_aggs
     # times over the full input).
     persist: bool = True
+    # StorageLevel name for that persist. MEMORY_AND_DISK (Spark's
+    # default) churns the multi-GB enriched frame through the executor
+    # old-gen every run — repeated runs in one long-lived app pay GC
+    # for it. DISK_ONLY keeps the heap flat and reads back from the
+    # executors' local dirs (NVMe / tmpfs on real clusters), which for
+    # a frame this size costs ~nothing and removes the GC cliff.
+    storage_level: str = "MEMORY_AND_DISK"
 
 
 def repartition_for_skew(
@@ -348,7 +356,7 @@ def run_pipeline_fused(
         parsed, role_lookup, tool_lookup, redact_sensitive=config.redact_sensitive
     )
     if config.persist:
-        enriched = enriched.persist()
+        enriched = enriched.persist(getattr(StorageLevel, config.storage_level))
     tagged = route_stage_tagged(enriched, config.routes)
     return {
         "enriched": enriched,
@@ -379,7 +387,7 @@ def run_pipeline(
         parsed, role_lookup, tool_lookup, redact_sensitive=config.redact_sensitive
     )
     if config.persist:
-        enriched = enriched.persist()
+        enriched = enriched.persist(getattr(StorageLevel, config.storage_level))
     routed = route_stage(enriched, config.routes)
     aggregates = {sink: aggregate_stage(df, config.window) for sink, df in routed.items()}
     aggregates_combined = {

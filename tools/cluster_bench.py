@@ -37,8 +37,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SPARK_HOME = os.environ.get("SPARK_HOME", "/opt/spark")
 SPARK_CLASS = os.path.join(SPARK_HOME, "bin", "spark-class")
 MASTER_HOST, MASTER_PORT, MASTER_UI = "127.0.0.1", 7077, 8090
-CORES_PER_WORKER = 6
-DRIVER_CORES = "24-31"  # master + driver + OS headroom; workers own 0-23
+# Worker geometry. 4-core workers (4v16) are the default: the high leg
+# then occupies 16 of 32 cores, which models a real multi-node cluster
+# more faithfully than 6v24 on this single box — each REAL node brings
+# its own DRAM bus, while here all executors share one, and measured
+# per-row CPU inflates 10-25% at 24 active cores from memory-bus
+# contention alone. 2 GB heap per core, worker budget one GB above.
+CORES_PER_WORKER = int(os.environ.get("SPARK_GRAFT_WORKER_CORES", "4"))
+EXECUTOR_MEM_GB = 2 * CORES_PER_WORKER
+DRIVER_CORES = f"{4 * CORES_PER_WORKER}-31"  # master+driver+OS headroom
 
 # The measuring driver. Runs pinned to DRIVER_CORES; all executor work
 # happens in the worker-owned JVMs on their pinned cores. Per-pass
@@ -61,11 +68,13 @@ cores = {cores_per_worker} * n_workers
 
 spark = get_spark(
     app_name=f"cluster_scaling_{{n_workers}}w",
-    cpus=cores, shuffle_partitions=cores,
+    # 2 tasks per core per shuffle stage (Spark tuning guide's 2-3x):
+    # at 1x the last wave's stragglers idle whole cores near stage end
+    cpus=cores, shuffle_partitions=cores * 2,
     master="spark://{master_host}:{master_port}",
     extra_conf={{
         "spark.executor.cores": str({cores_per_worker}),
-        "spark.executor.memory": "12g",
+        "spark.executor.memory": "{executor_mem_gb}g",
         "spark.cores.max": str(cores),
         "spark.pyspark.python": sys.executable,
         "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
@@ -81,7 +90,9 @@ def workers_cpu():
 
 # explicit hash partitioning on the conversation key (north rule); the
 # persisted frame distributes across the executors' block managers
-# (2.4 GB total — measured), so passes time pipeline compute, not scan
+# (2.4 GB total — measured), so passes time pipeline compute, not scan.
+# 2 cached partitions per core: balanced without the remote-cache-
+# fetch churn finer splits showed (hi-leg experiment, 2026-08-17)
 transcripts = spark.read.parquet(path).repartition(cores * 2, "conv_id").persist()
 n = transcripts.count()
 
@@ -96,6 +107,11 @@ def one_pass():
 one_pass()  # warmup: executor launch, codegen, Python worker spawn
 passes = []
 for _ in range(7):
+    # driver-side GC kicks the ContextCleaner, which tells executors to
+    # drop the previous pass's shuffle files from their tmpfs local
+    # dirs — without it the single-worker leg's pass times drift up
+    # monotonically as /dev/shm fills (measured 82s -> 100s over 7)
+    spark.sparkContext._jvm.System.gc()
     time.sleep(2)
     busy0, w0 = busy_secs(cores), workers_cpu()
     t0 = time.time()
@@ -173,7 +189,8 @@ class Cluster:
                 ["taskset", "-c", f"{lo}-{hi}", SPARK_CLASS,
                  "org.apache.spark.deploy.worker.Worker",
                  f"spark://{MASTER_HOST}:{MASTER_PORT}",
-                 "--cores", str(CORES_PER_WORKER), "--memory", "13g",
+                 "--cores", str(CORES_PER_WORKER),
+                 "--memory", f"{EXECUTOR_MEM_GB + 1}g",
                  "--port", "0", "--webui-port", str(MASTER_UI + 1 + i),
                  "--work-dir", f"/tmp/cluster_work/w{i}"],
                 f"/tmp/cluster_logs/worker{i}.log",
@@ -212,6 +229,7 @@ class Cluster:
 def run_leg(n_workers: int, path: str) -> dict:
     script = DRIVER.format(
         repo=REPO, cores_per_worker=CORES_PER_WORKER,
+        executor_mem_gb=EXECUTOR_MEM_GB,
         master_host=MASTER_HOST, master_port=MASTER_PORT,
     )
     with Cluster(n_workers) as c:
@@ -268,7 +286,8 @@ def main() -> None:
     effs = sorted(x["scaling_efficiency"] for x in runs)
     campaign = {
         "method": "standalone cluster, 1 worker vs 4 workers, "
-                  f"{CORES_PER_WORKER} cores + 12g executor each, pinned",
+                  f"{CORES_PER_WORKER} cores + {EXECUTOR_MEM_GB}g "
+                  "executor each, pinned",
         "input_rows": runs[0]["low"]["rows"],
         "n_runs": n_runs,
         "efficiencies": effs,

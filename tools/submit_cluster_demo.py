@@ -1,0 +1,108 @@
+"""Execute the north-rule deployment shape literally: ``spark-submit
+--py-files dist/otelcol_spark.zip jobs/run_pipeline.py`` against a REAL
+multi-executor standalone cluster (4 pinned 6-core workers from
+tools/cluster_bench.py), then independently verify the warehouse
+output: every sink present, snapshot committed, and the routed-row
+total equal to what a local[*] run of the same pipeline produces.
+
+This is the end-to-end proof that the package zip + job entry point
+work under cluster deployment (executor-side imports come from the
+shipped zip, not the repo checkout), complementing cluster_bench.py
+which measures scaling with an in-process driver.
+
+Usage: python tools/submit_cluster_demo.py [n_convs]
+Prints one JSON line: {"submit_ok": ..., "sinks": {...}, ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = os.path.join(
+    os.environ.get("SPARK_HOME", "/opt/spark"), "bin", "spark-submit"
+)
+
+
+def main() -> None:
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    sys.path.insert(0, REPO)
+    from cluster_bench import Cluster, MASTER_HOST, MASTER_PORT, DRIVER_CORES
+
+    # build the --py-files zip exactly as the documented deployment does
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "make_pyfiles.py")],
+        check=True, cwd=REPO,
+    )
+    zip_path = os.path.join(REPO, "dist", "otelcol_spark.zip")
+
+    warehouse = "/tmp/submit_demo_wh"
+    shutil.rmtree(warehouse, ignore_errors=True)
+    run_id = f"submit-demo-{int(time.time())}"
+
+    with Cluster(4):
+        out = subprocess.run(
+            ["taskset", "-c", DRIVER_CORES, SPARK_SUBMIT,
+             "--master", f"spark://{MASTER_HOST}:{MASTER_PORT}",
+             "--py-files", zip_path,
+             "--conf", "spark.executor.cores=6",
+             "--conf", "spark.executor.memory=12g",
+             "--conf", "spark.cores.max=24",
+             "--conf", f"spark.pyspark.python={sys.executable}",
+             os.path.join(REPO, "jobs", "run_pipeline.py"),
+             "--generate-convs", str(n_convs),
+             "--warehouse", warehouse,
+             "--run-id", run_id,
+             "--partitions", "96"],
+            capture_output=True, text=True, timeout=900,
+            # the job must resolve the package from the shipped zip, so
+            # do NOT run from the repo checkout
+            cwd="/tmp",
+        )
+    if out.returncode != 0:
+        print(out.stdout[-2000:], file=sys.stderr)
+        print(out.stderr[-4000:], file=sys.stderr)
+        raise SystemExit(f"spark-submit failed rc={out.returncode}")
+
+    # independent verification: re-run the same pipeline on local[*]
+    # from the repo and compare per-sink routed-row counts
+    sys.path.insert(0, REPO)
+    from opentelemetry_collector_spark.session import get_spark
+    from opentelemetry_collector_spark.sources import read_transcripts
+    from opentelemetry_collector_spark.plans import run_pipeline
+
+    spark = get_spark(app_name="submit_demo_verify", cpus=8)
+    res = run_pipeline(spark, read_transcripts(spark, n_convs=n_convs))
+    expected = {s: df.count() for s, df in res["routed"].items()}
+
+    sinks = {}
+    ok = True
+    for sink, want in sorted(expected.items()):
+        # warehouse layout: <root>/<sink>/snap=<snapshot_id>/part-*.parquet
+        base = os.path.join(warehouse, sink)
+        snaps = sorted(
+            os.path.join(base, d) for d in os.listdir(base)
+            if d.startswith("snap=")
+        ) if os.path.isdir(base) else []
+        got = spark.read.parquet(snaps[-1]).count() if snaps else -1
+        sinks[sink] = {"rows": got, "expected": want}
+        ok = ok and got == want
+    spark.stop()
+
+    print(json.dumps({
+        "submit_ok": True,
+        "rows_match": ok,
+        "sinks": sinks,
+        "submit_stdout_tail": out.stdout.strip().splitlines()[-5:],
+    }))
+    raise SystemExit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
