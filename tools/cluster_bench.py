@@ -64,6 +64,7 @@ from opentelemetry_collector_spark.hostacct import busy_secs, tree_cpu_secs
 n_workers = int(sys.argv[1])
 path = sys.argv[2]
 worker_pids = [int(p) for p in sys.argv[3].split(",")]
+master_pid = int(sys.argv[4])
 cores = {cores_per_worker} * n_workers
 
 spark = get_spark(
@@ -88,6 +89,11 @@ spark = get_spark(
 def workers_cpu():
     return sum(tree_cpu_secs(p) for p in worker_pids)
 
+def our_cpu_all():
+    # every process we own on the box: executor trees + this driver's
+    # tree (python + JVM gateway) + the master JVM
+    return (workers_cpu() + tree_cpu_secs() + tree_cpu_secs(master_pid))
+
 # explicit hash partitioning on the conversation key (north rule); the
 # persisted frame distributes across the executors' block managers
 # (2.4 GB total — measured), so passes time pipeline compute, not scan.
@@ -106,7 +112,7 @@ def one_pass():
 
 one_pass()  # warmup: executor launch, codegen, Python worker spawn
 passes = []
-for _ in range(7):
+for _ in range(8):
     # driver-side GC kicks the ContextCleaner, which tells executors to
     # drop the previous pass's shuffle files from their tmpfs local
     # dirs — without it the single-worker leg's pass times drift up
@@ -114,16 +120,29 @@ for _ in range(7):
     spark.sparkContext._jvm.System.gc()
     time.sleep(2)
     busy0, w0 = busy_secs(cores), workers_cpu()
+    host0, own0 = busy_secs(None), our_cpu_all()
     t0 = time.time()
     one_pass()
     wall = time.time() - t0
     busy1, w1 = busy_secs(cores), workers_cpu()
+    host1, own1 = busy_secs(None), our_cpu_all()
     ext = max(0.0, (busy1 - busy0) - (w1 - w0))
+    # host-wide external CPU: co-tenants running on NON-executor cores
+    # still contend for the one DRAM bus and inflate executor time
+    # 10-30% while executor-core ext_frac stays 0 (run 2, 2026-08-17)
+    host_ext = max(0.0, (host1 - host0) - (own1 - own0))
     passes.append({{"sec": wall,
                     "ext_frac": round(ext / (cores * wall), 4),
+                    "host_ext_frac": round(host_ext / ((os.cpu_count() or 32) * wall), 4),
                     "self_util": round((w1 - w0) / (cores * wall), 3)}})
-steady = passes[1:]  # drop 1: executor JIT tail after warmup
-clean = [p["sec"] for p in steady if p["ext_frac"] <= 0.10]
+# drop 2: run-1 traces (2026-08-17) show the multi-worker leg's JIT +
+# page-cache warmup tail extends into the second measured pass (54.4s
+# -> settling at ~39s); one warmup + two dropped passes is when both
+# legs reach steady state, and the rule is symmetric so it cannot
+# favor either leg
+steady = passes[2:]
+clean = [p["sec"] for p in steady
+         if p["ext_frac"] <= 0.10 and p["host_ext_frac"] <= 0.12]
 if len(clean) >= 3:
     rep, estimator = sorted(clean)[len(clean) // 2], "median_clean"
 else:
@@ -235,7 +254,8 @@ def run_leg(n_workers: int, path: str) -> dict:
     with Cluster(n_workers) as c:
         out = subprocess.run(
             ["taskset", "-c", DRIVER_CORES, sys.executable, "-c", script,
-             str(n_workers), path, ",".join(map(str, c.worker_pids))],
+             str(n_workers), path, ",".join(map(str, c.worker_pids)),
+             str(c.procs[0].pid)],
             capture_output=True, text=True, timeout=2400,
         )
     if out.returncode != 0:
