@@ -132,3 +132,40 @@ class TestPartitionedLayout:
         key = ["conv_id", "turn_idx", "text"]
         assert got.select(key).subtract(tiny_transcripts.select(key)).count() == 0
         assert got.count() == tiny_transcripts.count()
+
+
+class TestIcebergGate:
+    def test_gate_reports_absent_here(self, spark):
+        from opentelemetry_collector_spark.sources.tables import iceberg_available
+
+        if iceberg_available(spark):
+            pytest.skip("iceberg runtime present; gate not exercised")
+        assert iceberg_available(spark) is False
+
+    def test_gate_is_environmental_not_code(self):
+        """Why no query has ever run against real Iceberg metadata here,
+        recorded mechanically (mirror of test_kafka's e2e gate): the
+        iceberg-spark-runtime jar is in neither the pyspark wheel's jars
+        nor $SPARK_HOME/jars, AND the sandbox has no network to fetch
+        it. If either probe starts passing this test fails — the signal
+        to bind the warehouse interface to a real Iceberg catalog."""
+        import glob
+        import os
+        import socket
+
+        import pyspark
+
+        jar_dirs = [
+            os.path.join(os.path.dirname(pyspark.__file__), "jars"),
+            os.path.join(os.environ.get("SPARK_HOME", "/opt/spark"), "jars"),
+        ]
+        jars = [
+            j for d in jar_dirs for j in glob.glob(os.path.join(d, "*iceberg*"))
+        ]
+        assert not jars, f"iceberg jar now present: {jars} — wire a real catalog"
+        try:
+            socket.create_connection(("repo1.maven.org", 443), timeout=3).close()
+            reachable = True
+        except OSError:
+            reachable = False
+        assert not reachable, "network now reachable — fetch the jar and bind it"

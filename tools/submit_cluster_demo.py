@@ -1,6 +1,6 @@
 """Execute the north-rule deployment shape literally: ``spark-submit
 --py-files dist/otelcol_spark.zip jobs/run_pipeline.py`` against a REAL
-multi-executor standalone cluster (4 pinned 6-core workers from
+multi-executor standalone cluster (4 pinned identical workers from
 tools/cluster_bench.py), then independently verify the warehouse
 output: every sink present, snapshot committed, and the routed-row
 total equal to what a local[*] run of the same pipeline produces.
@@ -33,7 +33,10 @@ def main() -> None:
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     sys.path.insert(0, os.path.join(REPO, "tools"))
     sys.path.insert(0, REPO)
-    from cluster_bench import Cluster, MASTER_HOST, MASTER_PORT, DRIVER_CORES
+    from cluster_bench import (
+        Cluster, MASTER_HOST, MASTER_PORT, DRIVER_CORES,
+        CORES_PER_WORKER, EXECUTOR_MEM_GB,
+    )
 
     # build the --py-files zip exactly as the documented deployment does
     subprocess.run(
@@ -51,9 +54,12 @@ def main() -> None:
             ["taskset", "-c", DRIVER_CORES, SPARK_SUBMIT,
              "--master", f"spark://{MASTER_HOST}:{MASTER_PORT}",
              "--py-files", zip_path,
-             "--conf", "spark.executor.cores=6",
-             "--conf", "spark.executor.memory=12g",
-             "--conf", "spark.cores.max=24",
+             # executor spec must match the worker geometry Cluster()
+             # launches (an executor.cores above the worker's core
+             # budget would never be granted an executor at all)
+             "--conf", f"spark.executor.cores={CORES_PER_WORKER}",
+             "--conf", f"spark.executor.memory={EXECUTOR_MEM_GB}g",
+             "--conf", f"spark.cores.max={4 * CORES_PER_WORKER}",
              "--conf", f"spark.pyspark.python={sys.executable}",
              os.path.join(REPO, "jobs", "run_pipeline.py"),
              "--generate-convs", str(n_convs),
