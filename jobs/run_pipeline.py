@@ -19,8 +19,10 @@ Local smoke:
 
 The job is idempotent per --run-id: rerunning after a failure skips
 sinks whose snapshot already committed (see sinks.warehouse). Scaling
-evidence for the N-vs-4N criterion comes from tools/scaling_bench.py,
-which runs this same pipeline at two parallelism levels.
+evidence for the N-vs-4N criterion comes from tools/cluster_bench.py,
+which runs this same pipeline on a real standalone cluster at 1 vs 4
+workers; tools/submit_cluster_demo.py proves this exact spark-submit
+deployment shape at both cluster sizes.
 """
 
 from __future__ import annotations
