@@ -95,15 +95,26 @@ def our_cpu_all():
     return (workers_cpu() + tree_cpu_secs() + tree_cpu_secs(master_pid))
 
 # explicit hash partitioning on the conversation key (north rule); the
-# persisted frame distributes across the executors' block managers
-# (2.4 GB total — measured), so passes time pipeline compute, not scan.
+# persisted frame distributes across the executors' block managers,
+# so passes time pipeline compute, not scan.
 # 2 cached partitions per core: balanced without the remote-cache-
-# fetch churn finer splits showed (hi-leg experiment, 2026-08-17)
-transcripts = spark.read.parquet(path).repartition(cores * 2, "conv_id").persist()
+# fetch churn finer splits showed (hi-leg experiment, 2026-08-17).
+# DISK_ONLY for both long-lived persists: local dirs are tmpfs (RAM
+# speed), and keeping the cached blocks OFF the executor heaps is what
+# stops the high leg's late-pass GC degradation — with deserialized
+# MEMORY_AND_DISK caching, per-pass block churn fragmented the 8g
+# heaps and passes 5-8 of a run degraded 42s -> 76s with self_util
+# dropping to 0.75 at zero external CPU (run 3, 2026-08-17 22:53)
+from pyspark import StorageLevel
+transcripts = (spark.read.parquet(path)
+               .repartition(cores * 2, "conv_id")
+               .persist(StorageLevel.DISK_ONLY))
 n = transcripts.count()
 
 def one_pass():
-    res = run_pipeline(spark, transcripts, PipelineConfig(parse_engine="arrow"))
+    res = run_pipeline(spark, transcripts,
+                       PipelineConfig(parse_engine="arrow",
+                                      storage_level="DISK_ONLY"))
     for sink, df in res["routed"].items():
         df.write.format("noop").mode("overwrite").save()
     for sink, agg_df in res["aggregates_combined"].items():
