@@ -117,3 +117,40 @@ def test_parse_engines_agree(spark):
     a = parse_stage(df, engine="arrow").select(cols).toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     j = parse_stage(df, engine="jvm").select(cols).toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, j)
+
+
+def test_disk_only_storage_level_equivalent(spark):
+    """The storage_level knob changes WHERE the enriched frame is
+    cached (executor heap vs local dirs), never WHAT any sink sees —
+    the cluster bench runs with DISK_ONLY to keep executor heaps flat,
+    so pin that the routed output is identical and the persist really
+    carries the requested level. The baseline run's frame must be
+    unpersisted BEFORE the DISK_ONLY run: Spark's CacheManager matches
+    by logical plan and silently ignores a persist of an already-cached
+    plan ("Asked to cache already cached data"), keeping the old level."""
+    from pyspark import StorageLevel
+    from opentelemetry_collector_spark.datagen import make_transcripts_df
+
+    df = make_transcripts_df(spark, n_convs=30, seed=43)
+    base = run_pipeline(spark, df, PipelineConfig(parse_engine="arrow"))
+    expected = {s: r.count() for s, r in base["routed"].items()}
+    archive_pdf = (
+        base["routed"]["archive"].select("conv_id", "turn_idx", "text").toPandas()
+    )
+    base["enriched"].unpersist()
+
+    res = run_pipeline(
+        spark, df, PipelineConfig(parse_engine="arrow", storage_level="DISK_ONLY")
+    )
+    assert res["enriched"].storageLevel == StorageLevel.DISK_ONLY
+    for sink, routed in res["routed"].items():
+        assert routed.count() == expected[sink], sink
+    got = (
+        res["routed"]["archive"].select("conv_id", "turn_idx", "text").toPandas()
+    )
+    key = ["conv_id", "turn_idx"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        archive_pdf.sort_values(key).reset_index(drop=True),
+    )
+    res["enriched"].unpersist()
