@@ -265,24 +265,44 @@ def run_and_write(
     run_id: str,
     config=None,
     input_fingerprint: str = "",
+    concurrent: bool = True,
 ) -> dict[str, SinkResult]:
     """Execute the full pipeline and commit every routed sink +
     per-sink aggregate to the warehouse, skipping sinks already
-    committed for this run_id (idempotent resume after a crash)."""
-    from ..plans.pipeline import PipelineConfig, run_pipeline
+    committed for this run_id (idempotent resume after a crash).
+
+    Sink writes are independent Spark jobs over independent warehouse
+    paths (each commit is its own atomic rename under a per-sink
+    name), so they are submitted concurrently by default
+    (plans.pipeline.materialize_concurrent) — the scheduler fills one
+    job's stage-barrier idle with another's tasks, which matters more
+    the larger the cluster. ``concurrent=False`` restores sequential
+    submission."""
+    from ..plans.pipeline import PipelineConfig, materialize_concurrent, run_pipeline
 
     config = config or PipelineConfig()
     res = run_pipeline(spark, transcripts, config)
-    results: dict[str, SinkResult] = {}
+
+    def write(sink: str, df: DataFrame, **kw):
+        return lambda: warehouse.write_sink(
+            sink, df, run_id, input_fingerprint, **kw
+        )
+
+    actions = {
+        sink: write(sink, df, lineage_keys=("conv_id", "ts"))
+        for sink, df in res["routed"].items()
+    }
+    actions.update(
+        {
+            f"{sink}_agg": write(f"{sink}_agg", agg_df)
+            for sink, agg_df in res["aggregates_combined"].items()
+        }
+    )
     try:
-        for sink, df in res["routed"].items():
-            results[sink] = warehouse.write_sink(
-                sink, df, run_id, input_fingerprint, lineage_keys=("conv_id", "ts")
-            )
-        for sink, agg_df in res["aggregates_combined"].items():
-            results[f"{sink}_agg"] = warehouse.write_sink(
-                f"{sink}_agg", agg_df, run_id, input_fingerprint
-            )
+        if concurrent:
+            results = materialize_concurrent(actions)
+        else:
+            results = {name: fn() for name, fn in actions.items()}
     finally:
         if config.persist:
             res["enriched"].unpersist()

@@ -169,3 +169,57 @@ class TestIcebergGate:
         except OSError:
             reachable = False
         assert not reachable, "network now reachable — fetch the jar and bind it"
+
+
+class TestConcurrentWrites:
+    def test_materialize_concurrent_results_and_errors(self):
+        import time as _time
+
+        from opentelemetry_collector_spark.plans.pipeline import (
+            materialize_concurrent,
+        )
+
+        order = []
+
+        def mk(name, delay):
+            def fn():
+                _time.sleep(delay)
+                order.append(name)
+                return name.upper()
+            return fn
+
+        # slowest submitted first still returns a complete result map
+        res = materialize_concurrent({"a": mk("a", 0.2), "b": mk("b", 0.0)})
+        assert res == {"a": "A", "b": "B"}
+        assert order == ["b", "a"]  # genuinely concurrent
+
+        def boom():
+            raise RuntimeError("sink failed")
+
+        done = []
+        with pytest.raises(RuntimeError, match="sink failed"):
+            # the healthy action still runs to completion (drain-then-
+            # raise: no half-submitted state)
+            materialize_concurrent(
+                {"bad": boom, "good": lambda: done.append(1)}
+            )
+        assert done == [1]
+        assert materialize_concurrent({}) == {}
+
+    def test_run_and_write_concurrent_equals_sequential(
+        self, spark, tiny_transcripts, wh
+    ):
+        """Concurrent submission changes scheduling only: same commits,
+        same rows, same lineage totals as the sequential path."""
+        seq = run_and_write(
+            spark, tiny_transcripts, wh, "runC-seq", concurrent=False
+        )
+        con = run_and_write(spark, tiny_transcripts, wh, "runC-con")
+        assert set(seq) == set(con)
+        for name in seq:
+            assert con[name].rows == seq[name].rows, name
+            assert not con[name].skipped
+        key = ["conv_id", "turn_idx", "text"]
+        a = spark.read.parquet(seq["archive"].path).select(key)
+        b = spark.read.parquet(con["archive"].path).select(key)
+        assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0

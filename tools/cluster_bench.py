@@ -59,6 +59,7 @@ import json, os, sys, time
 sys.path.insert(0, {repo!r})
 from opentelemetry_collector_spark.session import get_spark
 from opentelemetry_collector_spark.plans import run_pipeline, PipelineConfig
+from opentelemetry_collector_spark.plans.pipeline import materialize_concurrent
 from opentelemetry_collector_spark.hostacct import busy_secs, tree_cpu_secs
 
 n_workers = int(sys.argv[1])
@@ -112,13 +113,19 @@ transcripts = (spark.read.parquet(path)
 n = transcripts.count()
 
 def one_pass():
+    # sink + aggregate materializations are independent jobs; submit
+    # them concurrently exactly as run_and_write does in production —
+    # sequential submission leaves the bigger cluster idle at every
+    # job boundary (measured: hi-leg self_util 0.87 vs lo 0.96)
     res = run_pipeline(spark, transcripts,
                        PipelineConfig(parse_engine="arrow",
                                       storage_level="DISK_ONLY"))
-    for sink, df in res["routed"].items():
-        df.write.format("noop").mode("overwrite").save()
-    for sink, agg_df in res["aggregates_combined"].items():
-        agg_df.write.format("noop").mode("overwrite").save()
+    def noop_write(df):
+        return lambda: df.write.format("noop").mode("overwrite").save()
+    actions = {{s: noop_write(df) for s, df in res["routed"].items()}}
+    actions.update({{f"{{s}}_agg": noop_write(a)
+                    for s, a in res["aggregates_combined"].items()}})
+    materialize_concurrent(actions)
     res["enriched"].unpersist()
 
 one_pass()  # warmup: executor launch, codegen, Python worker spawn
