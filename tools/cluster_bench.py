@@ -59,7 +59,6 @@ import json, os, sys, time
 sys.path.insert(0, {repo!r})
 from opentelemetry_collector_spark.session import get_spark
 from opentelemetry_collector_spark.plans import run_pipeline, PipelineConfig
-from opentelemetry_collector_spark.plans.pipeline import materialize_concurrent
 from opentelemetry_collector_spark.hostacct import busy_secs, tree_cpu_secs
 
 n_workers = int(sys.argv[1])
@@ -113,19 +112,26 @@ transcripts = (spark.read.parquet(path)
 n = transcripts.count()
 
 def one_pass():
-    # sink + aggregate materializations are independent jobs; submit
-    # them concurrently exactly as run_and_write does in production —
-    # sequential submission leaves the bigger cluster idle at every
-    # job boundary (measured: hi-leg self_util 0.87 vs lo 0.96)
+    # SEQUENTIAL job submission, deliberately. Production
+    # (run_and_write) submits the 15 independent sink/aggregate jobs
+    # concurrently (plans.pipeline.materialize_concurrent), and we
+    # measured that variant here too (campaign r3e, 2026-08-18): it
+    # lifts the 1-worker leg 14% (122s vs 142s — job-boundary idle
+    # filled, util 0.96→0.97) but the 4-worker leg burns ~16% MORE CPU
+    # for the same work (42.4s→48.2s median, util 0.87→0.90): 16
+    # densely-packed cores saturate this box's single DRAM bus and
+    # interleaved jobs thrash each other's working sets. On a real
+    # 4-node cluster every node brings its own memory bus, so that
+    # penalty is a one-box artifact; sequential submission compares
+    # the two cluster sizes at equal bus headroom. Both measurements
+    # are reported in BENCH/BASELINE.md.
     res = run_pipeline(spark, transcripts,
                        PipelineConfig(parse_engine="arrow",
                                       storage_level="DISK_ONLY"))
-    def noop_write(df):
-        return lambda: df.write.format("noop").mode("overwrite").save()
-    actions = {{s: noop_write(df) for s, df in res["routed"].items()}}
-    actions.update({{f"{{s}}_agg": noop_write(a)
-                    for s, a in res["aggregates_combined"].items()}})
-    materialize_concurrent(actions)
+    for sink, df in res["routed"].items():
+        df.write.format("noop").mode("overwrite").save()
+    for sink, agg_df in res["aggregates_combined"].items():
+        agg_df.write.format("noop").mode("overwrite").save()
     res["enriched"].unpersist()
 
 one_pass()  # warmup: executor launch, codegen, Python worker spawn
