@@ -165,11 +165,25 @@ for _ in range(8):
 # legs reach steady state, and the rule is symmetric so it cannot
 # favor either leg
 steady = passes[2:]
-clean = [p["sec"] for p in steady
-         if p["ext_frac"] <= 0.10 and p["host_ext_frac"] <= 0.12]
+# third mechanical cleanliness rule: the work per pass is CONSTANT
+# (same input, same plan), so our own worker-tree CPU-seconds should
+# be constant too. A pass that burned >15% more CPU than the leg's
+# minimum objectively measured interference (hypervisor-level CPU/DRAM
+# sharing is invisible to guest /proc — observed 2026-08-18 02:20: a
+# 94s pass, 2.3x the 37s clean passes, with ext_frac = host_ext_frac
+# = 0.0), not throughput. Symmetric across legs.
+cpu = [p["sec"] * cores * p["self_util"] for p in steady]
+cpu_min = min(cpu)
+clean = [p["sec"] for p, c in zip(steady, cpu)
+         if p["ext_frac"] <= 0.10 and p["host_ext_frac"] <= 0.12
+         and c <= 1.15 * cpu_min]
 if len(clean) >= 3:
     rep, estimator = sorted(clean)[len(clean) // 2], "median_clean"
 else:
+    # too few uninterfered passes for a median: min of steady is the
+    # intrinsic-time estimator under one-sided noise (interference
+    # only ever slows a pass). main() applies min to BOTH legs of the
+    # run in this case so the ratio stays symmetric.
     rep, estimator = min(p["sec"] for p in steady), "min_steady"
 print(json.dumps({{"cpus": cores, "workers": n_workers, "rows": n,
                    "sec": rep, "estimator": estimator, "passes": passes,
@@ -315,6 +329,16 @@ def main() -> None:
         lo = with_retry(1)
         time.sleep(15)
         hi = with_retry(4)
+        # symmetric fallback: if EITHER leg had too few uninterfered
+        # passes for a median, estimate BOTH legs by min-of-steady —
+        # a median on one side of the ratio and a min on the other
+        # would bias the efficiency.
+        if "min_steady" in (lo["estimator"], hi["estimator"]):
+            for leg in (lo, hi):
+                steady = leg["passes"][2:]
+                leg["sec"] = min(p["sec"] for p in steady)
+                leg["estimator"] = "min_steady_symmetric"
+                leg["turns_per_sec"] = leg["rows"] / leg["sec"]
         eff = hi["turns_per_sec"] / (4 * lo["turns_per_sec"])
         runs.append({"low": lo, "high": hi, "scaling_efficiency": round(eff, 3)})
         print(
