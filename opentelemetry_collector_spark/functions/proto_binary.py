@@ -30,6 +30,10 @@ class Reader:
     def varint(self) -> int:
         shift = result = 0
         while True:
+            if self.pos >= self.end:
+                # bounded by this (sub-)message's end, not the whole
+                # buffer: a varint must not bleed into sibling fields
+                raise ValueError("varint exceeds message bounds")
             b = self.buf[self.pos]
             self.pos += 1
             result |= (b & 0x7F) << shift
@@ -46,16 +50,22 @@ class Reader:
         return v - (1 << 64) if v >= 1 << 63 else v
 
     def fixed64(self) -> int:
+        if self.pos + 8 > self.end:
+            raise ValueError("fixed64 exceeds message bounds")
         v = struct.unpack_from("<Q", self.buf, self.pos)[0]
         self.pos += 8
         return v
 
     def double(self) -> float:
+        if self.pos + 8 > self.end:
+            raise ValueError("double exceeds message bounds")
         v = struct.unpack_from("<d", self.buf, self.pos)[0]
         self.pos += 8
         return v
 
     def fixed32(self) -> int:
+        if self.pos + 4 > self.end:
+            raise ValueError("fixed32 exceeds message bounds")
         v = struct.unpack_from("<I", self.buf, self.pos)[0]
         self.pos += 4
         return v
@@ -89,14 +99,20 @@ class Reader:
         if wire_type == VARINT:
             self.varint()
         elif wire_type == FIXED64:
+            if self.pos + 8 > self.end:
+                raise ValueError("skipped fixed64 exceeds message bounds")
             self.pos += 8
         elif wire_type == LEN:
             # read the length BEFORE adding: `pos += varint()` would
             # evaluate the old pos first and lose the length prefix's
             # own width, desyncing on every skipped LEN field
             n = self.varint()
+            if self.pos + n > self.end:
+                raise ValueError("skipped length-delimited field exceeds buffer")
             self.pos += n
         elif wire_type == FIXED32:
+            if self.pos + 4 > self.end:
+                raise ValueError("skipped fixed32 exceeds message bounds")
             self.pos += 4
         else:
             raise ValueError(f"unsupported wire type {wire_type}")

@@ -34,6 +34,7 @@ from ..trainingdata import (
     synthesize_media,
 )
 from ..trainingdata.dedup import (
+    DEFAULT_HOT_BUCKET_LIMIT,
     HYPERPLANES,
     MINHASH_A,
     MINHASH_B,
@@ -131,8 +132,13 @@ WITH base AS (
 ), banded AS (
   SELECT doc_id, sh, {band_keys} AS bands FROM sigs
 ), exploded AS (
+  -- mirrors _cap_hot_buckets (ON by default): the `limit` lowest ids
+  -- win per band bucket, so the oracle diverges loudly the moment the
+  -- cap actually drops members instead of staying green by accident
   SELECT doc_id, sh, u.b AS band_idx, bands[u.b + 1] AS band_key
   FROM banded CROSS JOIN (SELECT unnest(generate_series(0, {MINHASH_BANDS - 1})) AS b) u
+  QUALIFY row_number() OVER (PARTITION BY band_idx, band_key ORDER BY doc_id)
+          <= {DEFAULT_HOT_BUCKET_LIMIT}
 ), pairs AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, l.sh AS sh_a, r.sh AS sh_b
   FROM exploded l JOIN exploded r
@@ -177,7 +183,13 @@ def q_td_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..trainingdata import simhash_lsh_pairs
 
     _register(spark, sf_dir, "documents")
-    return simhash_lsh_pairs(spark.table("documents"), max_hamming=3)
+    # hot_bucket_limit=None: this row's oracle is the brute-force
+    # pairwise hamming (exact recall by pigeonhole), so the Spark side
+    # must run uncapped to share those semantics; the capped default
+    # path is oracled by td_minhash_lsh_pairs, whose SQL mirrors the cap
+    return simhash_lsh_pairs(
+        spark.table("documents"), max_hamming=3, hot_bucket_limit=None
+    )
 
 
 def _oracle_td_simhash_near_dup() -> str:

@@ -190,8 +190,12 @@ def format_metrics_debug(dps: DataFrame, point_order: Column | None = None) -> D
     # names — ranked on the tiny distinct frame and broadcast back,
     # never a global window over the datapoint table
     names = dps.select("name", "data_type", "temporality").distinct()
+    # dense_rank by name (not row_number): if one name ever carries two
+    # data_type/temporality combos, both get the SAME deterministic
+    # index — matching the oracle's dense_rank-by-name numbering —
+    # instead of arbitrary tie-broken distinct indices
     w_names = Window.orderBy("name")
-    names = names.withColumn("_metric_idx", F.row_number().over(w_names) - 1)
+    names = names.withColumn("_metric_idx", F.dense_rank().over(w_names) - 1)
 
     order = [F.col("ts")] + ([point_order] if point_order is not None else [])
     w_dp = Window.partitionBy("name").orderBy(*order)

@@ -258,7 +258,14 @@ def _read_span(r: Reader) -> dict:
         elif fid == 5 and wt == LEN:
             sp["name"] = r.string()
         elif fid == 6 and wt == VARINT:
-            sp["kind"] = _SPAN_KINDS[r.varint()]
+            # unknown enum values (forward-version kinds) must not fail
+            # the batch — real proto decoders accept them; fall back to
+            # UNSPECIFIED like the .get() paths for zipkin kind /
+            # temporality do
+            k = r.varint()
+            sp["kind"] = (
+                _SPAN_KINDS[k] if 0 <= k < len(_SPAN_KINDS) else _SPAN_KINDS[0]
+            )
         elif fid == 7 and wt == FIXED64:
             sp["startTimeUnixNano"] = str(r.fixed64())
         elif fid == 8 and wt == FIXED64:

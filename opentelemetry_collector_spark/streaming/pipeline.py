@@ -97,6 +97,35 @@ def stream_identity(checkpoint_dir: str) -> str:
     ).hexdigest()[:12]
 
 
+def _legacy_epoch_mode(checkpoint_dir: str, stream_id: str) -> bool:
+    """One-time migration marker: pre-namespacing builds committed sink
+    epochs under run_id ``epoch-N``. Only a checkpoint that ALREADY has
+    Spark offsets but NO marker can be resuming such a build — it gets
+    ``legacy=True`` recorded once. A fresh checkpoint (no offsets)
+    records ``legacy=False`` immediately, so a brand-new stream can
+    never skip its own commits just because some OTHER pre-namespacing
+    stream left an ``epoch-N`` snapshot in the shared warehouse (that
+    unscoped skip was silent data loss)."""
+    import json
+    import os
+
+    marker = os.path.join(checkpoint_dir, "_namespace_marker.json")
+    try:
+        with open(marker, encoding="utf-8") as f:
+            return bool(json.load(f).get("legacy", False))
+    except FileNotFoundError:
+        pass
+    # no marker yet: offsets present ⇒ resuming a checkpoint written
+    # before the marker existed ⇒ may predate namespacing
+    legacy = os.path.isdir(os.path.join(checkpoint_dir, "offsets"))
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    tmp = marker + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"stream_id": stream_id, "legacy": legacy}, f)
+    os.replace(tmp, marker)
+    return legacy
+
+
 def start_routed_stream(
     spark: SparkSession,
     source: DataFrame,
@@ -112,12 +141,16 @@ def start_routed_stream(
     sinks it already committed — exactly-once sink delivery on top of
     at-least-once replay — while a SECOND stream, or a restart with a
     fresh checkpoint, gets a different namespace and can never collide
-    with (and silently skip against) another stream's epochs."""
+    with (and silently skip against) another stream's epochs. Legacy
+    un-namespaced ``epoch-N`` snapshots are honored ONLY when the
+    checkpoint provably predates namespacing (see
+    ``_legacy_epoch_mode``)."""
     from ..plans.pipeline import PipelineConfig, parse_stage, enrich_stage, route_stage
     from .. import datagen
 
     config = config or PipelineConfig()
     stream_id = stream_identity(checkpoint_dir)
+    legacy_mode = _legacy_epoch_mode(checkpoint_dir, stream_id)
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         s = batch_df.sparkSession
@@ -127,12 +160,10 @@ def start_routed_stream(
         ).persist()
         try:
             for sink, df in route_stage(enriched, config.routes).items():
-                # one-time migration: an epoch committed by a pre-
-                # namespacing build wrote run_id "epoch-N"; replaying
-                # it under the namespaced id would double-commit, so
-                # honor the legacy snapshot if present
-                legacy = f"epoch-{epoch_id}"
-                if warehouse.has_run(sink, legacy):
+                # one-time migration, scoped to genuinely pre-
+                # namespacing checkpoints: replaying an epoch the old
+                # build committed as "epoch-N" must not double-commit
+                if legacy_mode and warehouse.has_run(sink, f"epoch-{epoch_id}"):
                     continue
                 warehouse.write_sink(sink, df, run_id=f"{stream_id}-epoch-{epoch_id}")
         finally:

@@ -198,7 +198,11 @@ def lsh_band_keys(sig: Column, bands: int = MINHASH_BANDS, rows: int = MINHASH_R
 
 
 def _cap_hot_buckets(
-    exploded: DataFrame, limit: int | None, key_cols: tuple[str, str] = ("band_idx", "band_key")
+    exploded: DataFrame,
+    limit: int | None,
+    key_cols: tuple[str, str] = ("band_idx", "band_key"),
+    observation=None,
+    observe_name: str = "hot_bucket_cap",
 ) -> DataFrame:
     """Bound a band bucket's contribution to the self-join at ``limit``
     members (the deterministic ``limit`` lowest ids win). A hot bucket
@@ -209,17 +213,34 @@ def _cap_hot_buckets(
     giant duplicate clusters should be collapsed by exact-dedup BEFORE
     LSH (the standard web-dedup pipeline order). The row_number window
     shuffles on the same key as the join itself, so it adds no new
-    partitioning."""
+    partitioning.
+
+    Capping is NOT silent: the pre-filter frame carries an ``observe``
+    (named ``observe_name``, or an explicit ``pyspark.sql.Observation``
+    for programmatic access) reporting ``dropped_members`` (rows cut by
+    the cap) and ``capped_buckets`` (buckets that exceeded the limit),
+    so default-path recall loss on a pathological corpus is visible in
+    the query metrics / Spark UI instead of vanishing into a smaller
+    pair count."""
     if limit is None:
         return exploded
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(*key_cols).orderBy("id")
-    return (
-        exploded.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= limit)
-        .drop("_rk")
-    )
+    ranked = exploded.withColumn("_rk", F.row_number().over(w))
+    metrics = [
+        F.coalesce(
+            F.sum((F.col("_rk") > limit).cast("long")), F.lit(0).cast("long")
+        ).alias("dropped_members"),
+        F.coalesce(
+            F.sum((F.col("_rk") == limit + 1).cast("long")), F.lit(0).cast("long")
+        ).alias("capped_buckets"),
+    ]
+    if observation is not None:
+        ranked = ranked.observe(observation, *metrics)
+    else:
+        ranked = ranked.observe(observe_name, *metrics)
+    return ranked.filter(F.col("_rk") <= limit).drop("_rk")
 
 
 def minhash_lsh_pairs(
@@ -230,6 +251,7 @@ def minhash_lsh_pairs(
     cache_signatures: bool = True,
     hot_bucket_limit: int | None = DEFAULT_HOT_BUCKET_LIMIT,
     hash_fn=None,
+    cap_observation=None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket
     (id_a < id_b), verified with exact shingle-set Jaccard computed
@@ -283,6 +305,8 @@ def minhash_lsh_pairs(
     exploded = _cap_hot_buckets(
         sigs.select("id", F.posexplode("bands").alias("band_idx", "band_key")),
         hot_bucket_limit,
+        observation=cap_observation,
+        observe_name="minhash_hot_bucket_cap",
     )
     left = exploded.select(F.col("id").alias("id_a"), "band_idx", "band_key")
     right = exploded.select(F.col("id").alias("id_b"), "band_idx", "band_key")
@@ -353,6 +377,7 @@ def simhash_lsh_pairs(
     bits: int = SIMHASH_BITS,
     hot_bucket_limit: int | None = DEFAULT_HOT_BUCKET_LIMIT,
     hash_fn=None,
+    cap_observation=None,
 ) -> DataFrame:
     """SimHash near-dup pairs with hamming ≤ max_hamming via banded
     bit-buckets: the simhash splits into ``bands`` equal bit bands;
@@ -381,6 +406,8 @@ def simhash_lsh_pairs(
     exploded = _cap_hot_buckets(
         sh.select("id", "sh", F.posexplode(band_arr).alias("band_idx", "band_key")),
         hot_bucket_limit,
+        observation=cap_observation,
+        observe_name="simhash_hot_bucket_cap",
     )
     left = exploded.select(
         F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band_idx", "band_key"

@@ -92,6 +92,64 @@ class TestCodec:
         with pytest.raises(ValueError):
             Reader(b"\xff" * 11).varint()
 
+    def test_truncated_varint_raises_value_error(self):
+        # continuation bit set on the last byte: must be ValueError,
+        # not IndexError, matching the strict bytes_() stance
+        with pytest.raises(ValueError):
+            Reader(b"\xff\xff").varint()
+
+    def test_varint_bounded_by_submessage_end(self):
+        # a varint inside a sub-message must not bleed into sibling
+        # bytes past the sub-message's declared end
+        buf = b"\x80" + b"\x01"  # continuation byte, then a sibling byte
+        r = Reader(buf, end=1)
+        with pytest.raises(ValueError):
+            r.varint()
+
+    @pytest.mark.parametrize("method,n", [("fixed64", 8), ("double", 8), ("fixed32", 4)])
+    def test_truncated_fixed_raises_value_error(self, method, n):
+        r = Reader(b"\x00" * (n - 1))
+        with pytest.raises(ValueError):
+            getattr(r, method)()
+
+    def test_fixed_bounded_by_submessage_end(self):
+        # 8 real bytes in the buffer, but the sub-message ends at 4
+        r = Reader(b"\x00" * 8, end=4)
+        with pytest.raises(ValueError):
+            r.fixed64()
+
+    def test_skip_len_past_buffer_raises(self):
+        # declared length 100 with 1 byte of payload
+        with pytest.raises(ValueError):
+            Reader(b"\x64\x00").skip(LEN)
+
+    def test_skip_fixed_past_end_raises(self):
+        with pytest.raises(ValueError):
+            Reader(b"\x00" * 3, end=3).skip(FIXED64)
+
+    def test_unknown_span_kind_falls_back_to_unspecified(self):
+        # a forward-version enum value must not fail the batch
+        from opentelemetry_collector_spark.sources.otlp_proto import (
+            _SPAN_KINDS,
+        )
+
+        span = Writer()
+        span.bytes_(1, b"\x01" * 16)   # traceId
+        span.bytes_(2, b"\x02" * 8)    # spanId
+        span.string(5, "s")
+        span.int_(6, 99)               # unknown kind
+        scope_spans = Writer()
+        scope_spans.message(2, span)
+        rs = Writer()
+        rs.message(2, scope_spans)
+        req = Writer()
+        req.message(1, rs)
+        decoded = decode_traces_request(bytes(req.out))
+        got = decoded["resourceSpans"][0]["instrumentationLibrarySpans"][0][
+            "spans"
+        ][0]
+        assert got["kind"] == _SPAN_KINDS[0]
+
 
 LOGS_REQ = {
     "resourceLogs": [

@@ -166,7 +166,9 @@ class TestStreamIdentity:
     def test_legacy_epoch_snapshot_honored(self, spark, tiny_transcripts, source_dir, tmp_path):
         """One-time migration: a sink epoch committed by a pre-
         namespacing build under run_id 'epoch-N' must NOT be committed
-        a second time under the namespaced id when that epoch replays."""
+        a second time under the namespaced id when that epoch replays —
+        but ONLY for a checkpoint that provably predates namespacing
+        (Spark offsets already on disk, no marker yet)."""
         wh = Warehouse(str(tmp_path / "wh_legacy"))
         # simulate the pre-change build having committed epoch 0 for
         # the archive sink (single availableNow epoch with no file cap)
@@ -174,15 +176,48 @@ class TestStreamIdentity:
         wh.write_sink("archive", legacy_rows, run_id="epoch-0")
         assert wh.has_run("archive", "epoch-0")
 
+        # a pre-namespacing checkpoint: offsets exist, marker does not
+        ckpt = tmp_path / "ckpt_legacy"
+        (ckpt / "offsets").mkdir(parents=True)
         src = stream_transcripts(spark, source_dir)
-        q = start_routed_stream(
-            spark, src, wh, checkpoint_dir=str(tmp_path / "ckpt_legacy")
-        )
+        q = start_routed_stream(spark, src, wh, checkpoint_dir=str(ckpt))
         _await(q)
         # archive kept the legacy snapshot (3 rows), no double commit;
         # the other sinks committed normally under the new namespace
         assert wh.read_sink(spark, "archive").count() == 3
         assert wh.read_sink(spark, "errors").count() > 0
+
+    def test_fresh_checkpoint_ignores_legacy_snapshots(
+        self, spark, tiny_transcripts, source_dir, tmp_path
+    ):
+        """A brand-new stream (fresh checkpoint) must commit its own
+        epochs even when some OTHER pre-namespacing stream left an
+        'epoch-N' snapshot in the shared warehouse — the unscoped skip
+        was silent data loss."""
+        wh = Warehouse(str(tmp_path / "wh_fresh"))
+        foreign = tiny_transcripts.limit(3).select("conv_id", "turn_idx")
+        wh.write_sink("archive", foreign, run_id="epoch-0")
+
+        src = stream_transcripts(spark, source_dir)
+        q = start_routed_stream(
+            spark, src, wh, checkpoint_dir=str(tmp_path / "ckpt_fresh")
+        )
+        _await(q)
+        # the new stream's archive commit landed ON TOP of the foreign
+        # legacy snapshot instead of being silently skipped
+        assert wh.read_sink(spark, "archive").count() > 3
+
+    def test_marker_pins_mode_across_resume(self, tmp_path):
+        """Once a checkpoint records legacy=False, later resumes (which
+        now DO have offsets on disk) stay non-legacy."""
+        from opentelemetry_collector_spark.streaming.pipeline import (
+            _legacy_epoch_mode,
+        )
+
+        ckpt = tmp_path / "ckpt_pin"
+        assert _legacy_epoch_mode(str(ckpt), "abc") is False
+        (ckpt / "offsets").mkdir(parents=True)
+        assert _legacy_epoch_mode(str(ckpt), "abc") is False
 
 
 class TestStreamingDedup:

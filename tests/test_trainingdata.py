@@ -211,6 +211,33 @@ class TestHotBucketCap:
         boiler = [r for r in capped if r["id_a"] >= 100 and r["id_b"] >= 100]
         assert 0 < len(boiler) <= 45
 
+    def test_cap_is_observable_not_silent(self, hot_corpus):
+        """ADVICE r3: recall loss from the default cap must be
+        detectable — the capping stage reports dropped_members and
+        capped_buckets via the Observation API."""
+        from pyspark.sql import Observation
+
+        obs = Observation("cap_test")
+        minhash_lsh_pairs(
+            hot_corpus, hot_bucket_limit=10, cap_observation=obs
+        ).collect()
+        got = obs.get
+        # 120 boilerplate docs, 10 survive per bucket: every one of
+        # the MINHASH_BANDS identical buckets drops 110 members
+        assert got["capped_buckets"] >= 1
+        assert got["dropped_members"] >= 110
+
+    def test_cap_observation_zero_on_healthy_corpus(self, docs):
+        from pyspark.sql import Observation
+
+        obs = Observation("cap_test_zero")
+        minhash_lsh_pairs(
+            docs, hot_bucket_limit=1000, cap_observation=obs
+        ).collect()
+        got = obs.get
+        assert got["dropped_members"] == 0
+        assert got["capped_buckets"] == 0
+
     def test_cap_leaves_healthy_corpus_unchanged(self, docs):
         # every bucket in the normal fixture is under the limit, so the
         # pair set must be identical with and without the cap
