@@ -937,6 +937,48 @@ GROUP BY 1, 2
 """
 
 
+def q_streaming_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream == batch: the sf transcripts replayed as a file-source
+    STREAM (availableNow) through the watermarked 5-minute window
+    aggregation, landed in a memory sink in complete mode — the final
+    table must equal the batch aggregation exactly, which is why the
+    batch SQL is a valid oracle (the invariant the reference's
+    receiver→batch-processor path guarantees regardless of arrival
+    batching, batch_processor.go:115-171)."""
+    import tempfile
+
+    from ..streaming.pipeline import stream_transcripts, streaming_windowed_counts
+
+    t = _derive_transcripts(spark, sf_dir)
+    src_dir = tempfile.mkdtemp(prefix="otelcol_stream_src_")
+    t.select("conv_id", "turn_idx", "role", "text", "tool", "ts").write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    ckpt = tempfile.mkdtemp(prefix="otelcol_stream_ckpt_")
+    src = stream_transcripts(spark, src_dir, max_files_per_trigger=8)
+    q = (
+        streaming_windowed_counts(src)
+        .writeStream.format("memory")
+        .queryName("streaming_parity_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("streaming_parity_sink")
+
+
+def _oracle_streaming_parity() -> str:
+    return f"""
+WITH t AS ({_TRANSCRIPTS_FROM_EVENTS})
+SELECT CAST((epoch_us(ts) // 300000000) * 300 AS BIGINT) AS window_start,
+       role, CAST(count(*) AS BIGINT) AS n_turns
+FROM t
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -968,6 +1010,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metrics_temporality": q_metrics_temporality,
     "trace_summaries": q_trace_summaries,
     "tpch_q1": q_tpch_q1,
+    "streaming_parity": q_streaming_parity,
     **OP_QUERIES,
     **TD_QUERIES,
 }
@@ -996,6 +1039,7 @@ ORACLES: dict[str, str] = {
     "metrics_temporality": _oracle_metrics_temporality(),
     "trace_summaries": _oracle_trace_summaries(),
     "tpch_q1": _oracle_tpch_q1(),
+    "streaming_parity": _oracle_streaming_parity(),
     **OP_ORACLES,
     **TD_ORACLES,
 }

@@ -654,6 +654,167 @@ FROM f
 
 
 # ---------------------------------------------------------------------------
+# consolidated wire matrices — one driver row per wire FAMILY so every
+# codec keeps a green CORRECTNESS row inside the driver's 50-query
+# budget (round-3 verdict item 1). Each codec still has its own
+# q_* function above (pytest + ad-hoc use); the matrix unions them
+# with a `format` tag over ONE persisted input frame.
+# ---------------------------------------------------------------------------
+
+
+def _span_wire_codecs():
+    from ..sources.jaeger_json import jaeger_json_to_spans, spans_to_jaeger_json
+    from ..sources.jaeger_proto import jaeger_proto_to_spans, spans_to_jaeger_proto
+    from ..sources.jaeger_thrift import jaeger_thrift_to_spans, spans_to_jaeger_thrift
+    from ..sources.opencensus_json import oc_json_to_spans, spans_to_oc_json
+    from ..sources.otlp_json import otlp_json_to_spans, spans_to_otlp_json
+    from ..sources.otlp_proto import otlp_proto_to_spans, spans_to_otlp_proto
+    from ..sources.zipkin_json import spans_to_zipkin_json, zipkin_json_to_spans
+    from ..sources.zipkin_proto import spans_to_zipkin_proto, zipkin_proto_to_spans
+    from ..sources.zipkin_thrift import spans_to_zipkin_thrift, zipkin_thrift_to_spans
+    from ..sources.zipkin_v1_json import (
+        spans_to_zipkin_v1_json,
+        zipkin_v1_json_to_spans,
+    )
+
+    return {
+        "otlp_json": lambda sp: otlp_json_to_spans(spans_to_otlp_json(sp)),
+        "otlp_proto": lambda sp: otlp_proto_to_spans(spans_to_otlp_proto(sp)),
+        "zipkin_v2_json": lambda sp: zipkin_json_to_spans(spans_to_zipkin_json(sp)),
+        "zipkin_v2_proto": lambda sp: zipkin_proto_to_spans(spans_to_zipkin_proto(sp)),
+        "zipkin_v1_json": lambda sp: zipkin_v1_json_to_spans(
+            spans_to_zipkin_v1_json(sp)
+        ),
+        "zipkin_v1_thrift": lambda sp: zipkin_thrift_to_spans(
+            spans_to_zipkin_thrift(sp)
+        ),
+        "jaeger_json": lambda sp: jaeger_json_to_spans(spans_to_jaeger_json(sp)),
+        "jaeger_thrift": lambda sp: jaeger_thrift_to_spans(spans_to_jaeger_thrift(sp)),
+        "jaeger_proto": lambda sp: jaeger_proto_to_spans(spans_to_jaeger_proto(sp)),
+        "oc_json": lambda sp: oc_json_to_spans(spans_to_oc_json(sp)),
+    }
+
+
+def q_span_wire_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL ten trace wire formats as one tagged identity matrix: span
+    table → wire → back must be the identity per format. The spans
+    frame is persisted once and fans out to every codec, so the ten
+    branches share one parse instead of re-deriving it."""
+    sp = _spans(spark, sf_dir).persist()
+    out = None
+    for name, fn in _span_wire_codecs().items():
+        part = _span_roundtrip_select(fn(sp)).withColumn("format", F.lit(name))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _oracle_span_wire_roundtrips() -> str:
+    fmts = ", ".join(f"('{name}')" for name in _span_wire_codecs())
+    return (
+        _SPANS_SQL
+        + "SELECT f.format, trace_id, span_id, parent_span_id,"
+        " CAST(turn_idx AS INT) AS turn_idx, name, kind,"
+        " CAST(status_code AS INT) AS status_code, start_us, end_us"
+        f" FROM sp CROSS JOIN (VALUES {fmts}) AS f(format)"
+    )
+
+
+_TRANSCRIPT_ID_COLS = ["conv_id", "turn_idx", "role", "text", "tool"]
+
+
+def q_log_wire_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP log wire identity matrix (protobuf-JSON + binary
+    protobuf): transcripts → wire → back per format."""
+    from ..sources.otlp_json import logs_from_otlp_json, logs_to_otlp_json
+    from ..sources.otlp_proto import logs_from_otlp_proto, logs_to_otlp_proto
+
+    t = _derive_transcripts(spark, sf_dir).persist()
+    codecs = {
+        "otlp_json": lambda d: logs_from_otlp_json(logs_to_otlp_json(d)),
+        "otlp_proto": lambda d: logs_from_otlp_proto(logs_to_otlp_proto(d)),
+    }
+    out = None
+    for name, fn in codecs.items():
+        part = fn(t).select(
+            *_TRANSCRIPT_ID_COLS,
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        ).withColumn("format", F.lit(name))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _oracle_log_wire_roundtrips() -> str:
+    return f"""
+WITH t AS ({_TRANSCRIPTS_FROM_EVENTS})
+SELECT f.format, conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us
+FROM t CROSS JOIN (VALUES ('otlp_json'), ('otlp_proto')) AS f(format)
+"""
+
+
+def q_fluentforward_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fluentd Forward msgpack wire identity across ALL carrier modes
+    (receiver/fluentforwardreceiver/conversion.go:62-177): transcripts
+    → Message / Forward / PackedForward / gzip-PackedForward blobs →
+    back; per-turn text, attrs, and µs timestamps must survive every
+    mode."""
+    from ..sources.fluentforward import fluent_to_transcripts, transcripts_to_fluent
+
+    t = _derive_transcripts(spark, sf_dir).persist()
+    out = None
+    for mode in ("message", "forward", "packed_forward", "packed_forward_gzip"):
+        part = fluent_to_transcripts(transcripts_to_fluent(t, mode=mode)).select(
+            *_TRANSCRIPT_ID_COLS,
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        ).withColumn("mode", F.lit(mode))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _oracle_fluentforward_roundtrip() -> str:
+    return f"""
+WITH t AS ({_TRANSCRIPTS_FROM_EVENTS})
+SELECT m.mode, conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us
+FROM t CROSS JOIN (VALUES ('message'), ('forward'), ('packed_forward'),
+                   ('packed_forward_gzip')) AS m(mode)
+"""
+
+
+def q_metric_wire_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric wire identity matrix: OTLP protobuf-JSON, OTLP binary
+    protobuf, and OpenCensus JSON over the same datapoint frame. The
+    OC arm DROPS the DELTA rows (no OC representation) — the oracle
+    mirrors that per-format."""
+    from ..sources.opencensus_json import metrics_to_oc_json, oc_json_to_metrics
+    from ..sources.otlp_json import metrics_from_otlp_json, metrics_to_otlp_json
+    from ..sources.otlp_proto import metrics_from_otlp_proto, metrics_to_otlp_proto
+
+    dps = _dp_rows(spark, sf_dir).persist()
+    codecs = {
+        "otlp_json": lambda d: metrics_from_otlp_json(metrics_to_otlp_json(d)),
+        "otlp_proto": lambda d: metrics_from_otlp_proto(metrics_to_otlp_proto(d)),
+        "oc_json": lambda d: oc_json_to_metrics(
+            metrics_to_oc_json(d, label_keys=["m"])
+        ),
+    }
+    out = None
+    for name, fn in codecs.items():
+        part = _dp_roundtrip_select(fn(dps)).withColumn("format", F.lit(name))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _oracle_metric_wire_roundtrips() -> str:
+    return f"""
+WITH base AS ({_DP_ORACLE_BASE})
+SELECT f.format, base.* FROM base
+CROSS JOIN (VALUES ('otlp_json'), ('otlp_proto')) AS f(format)
+UNION ALL
+SELECT 'oc_json' AS format, base.* FROM base
+WHERE base.data_type <> 'IntSum'
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -832,56 +993,72 @@ FROM idx
 """
 
 
+def q_logging_exporter_debug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three loggingexporter signal renderings as one tagged union
+    (signal, k1, k2, debug): spans keyed by (trace_id, span_id), logs
+    by (conv_id, turn_idx), metrics by (name, dp_idx). One driver row
+    proves the exact Go debug text for every signal."""
+    sp = q_logging_exporter_spans(spark, sf_dir).select(
+        F.lit("spans").alias("signal"),
+        F.col("trace_id").alias("k1"),
+        F.col("span_id").alias("k2"),
+        "debug",
+    )
+    lg = q_logging_exporter_logs(spark, sf_dir).select(
+        F.lit("logs").alias("signal"),
+        F.col("conv_id").alias("k1"),
+        F.col("turn_idx").cast("string").alias("k2"),
+        "debug",
+    )
+    mt = q_logging_exporter_metrics(spark, sf_dir).select(
+        F.lit("metrics").alias("signal"),
+        F.col("name").alias("k1"),
+        F.col("dp_idx").cast("string").alias("k2"),
+        "debug",
+    )
+    return sp.unionByName(lg).unionByName(mt)
+
+
+def _oracle_logging_exporter_debug() -> str:
+    def keyed(sql: str, signal: str, k1: str, k2: str) -> str:
+        return (
+            f"SELECT '{signal}' AS signal, CAST({k1} AS VARCHAR) AS k1,"
+            f" CAST({k2} AS VARCHAR) AS k2, debug FROM ({sql})"
+        )
+
+    return (
+        keyed(_oracle_logging_exporter_spans(), "spans", "trace_id", "span_id")
+        + "\nUNION ALL\n"
+        + keyed(_oracle_logging_exporter_logs(), "logs", "conv_id", "turn_idx")
+        + "\nUNION ALL\n"
+        + keyed(_oracle_logging_exporter_metrics(), "metrics", "name", "dp_idx")
+    )
+
+
 OP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "logging_exporter_spans": q_logging_exporter_spans,
-    "logging_exporter_logs": q_logging_exporter_logs,
-    "logging_exporter_metrics": q_logging_exporter_metrics,
+    "logging_exporter_debug": q_logging_exporter_debug,
     "expr_filter_metrics": q_expr_filter_metrics,
     "resource_processor": q_resource_processor,
     "resource_to_label": q_resource_to_label,
     "metric_filter_names": q_metric_filter_names,
     "split_batches": q_split_batches,
-    "otlp_roundtrip": q_otlp_roundtrip,
-    "otlp_traces_roundtrip": q_otlp_traces_roundtrip,
-    "zipkin_roundtrip": q_zipkin_roundtrip,
-    "jaeger_roundtrip": q_jaeger_roundtrip,
-    "zipkin_v1_roundtrip": q_zipkin_v1_roundtrip,
-    "zipkin_thrift_roundtrip": q_zipkin_thrift_roundtrip,
-    "jaeger_thrift_roundtrip": q_jaeger_thrift_roundtrip,
-    "jaeger_proto_roundtrip": q_jaeger_proto_roundtrip,
-    "zipkin_proto_roundtrip": q_zipkin_proto_roundtrip,
-    "otlp_proto_roundtrip": q_otlp_proto_roundtrip,
-    "otlp_traces_proto_roundtrip": q_otlp_traces_proto_roundtrip,
-    "oc_roundtrip": q_oc_roundtrip,
-    "oc_metrics_roundtrip": q_oc_metrics_roundtrip,
-    "otlp_metrics_roundtrip": q_otlp_metrics_roundtrip,
-    "otlp_metrics_proto_roundtrip": q_otlp_metrics_proto_roundtrip,
+    "span_wire_roundtrips": q_span_wire_roundtrips,
+    "log_wire_roundtrips": q_log_wire_roundtrips,
+    "fluentforward_roundtrip": q_fluentforward_roundtrip,
+    "metric_wire_roundtrips": q_metric_wire_roundtrips,
     "config_pipeline": q_config_pipeline,
 }
 
 OP_ORACLES: dict[str, str] = {
-    "logging_exporter_spans": _oracle_logging_exporter_spans(),
-    "logging_exporter_logs": _oracle_logging_exporter_logs(),
-    "logging_exporter_metrics": _oracle_logging_exporter_metrics(),
+    "logging_exporter_debug": _oracle_logging_exporter_debug(),
     "expr_filter_metrics": _oracle_expr_filter_metrics(),
     "resource_processor": _oracle_resource_processor(),
     "resource_to_label": _oracle_resource_to_label(),
     "metric_filter_names": _oracle_metric_filter_names(),
     "split_batches": _oracle_split_batches(),
-    "otlp_roundtrip": _oracle_otlp_roundtrip(),
-    "otlp_traces_roundtrip": _SPAN_ORACLE,
-    "zipkin_roundtrip": _SPAN_ORACLE,
-    "jaeger_roundtrip": _SPAN_ORACLE,
-    "zipkin_v1_roundtrip": _SPAN_ORACLE,
-    "zipkin_thrift_roundtrip": _SPAN_ORACLE,
-    "jaeger_thrift_roundtrip": _SPAN_ORACLE,
-    "jaeger_proto_roundtrip": _SPAN_ORACLE,
-    "zipkin_proto_roundtrip": _SPAN_ORACLE,
-    "otlp_proto_roundtrip": _oracle_otlp_roundtrip(),
-    "otlp_traces_proto_roundtrip": _SPAN_ORACLE,
-    "oc_roundtrip": _SPAN_ORACLE,
-    "oc_metrics_roundtrip": _oracle_oc_metrics_roundtrip(),
-    "otlp_metrics_roundtrip": _oracle_otlp_metrics_roundtrip(),
-    "otlp_metrics_proto_roundtrip": _oracle_otlp_metrics_roundtrip(),
+    "span_wire_roundtrips": _oracle_span_wire_roundtrips(),
+    "log_wire_roundtrips": _oracle_log_wire_roundtrips(),
+    "fluentforward_roundtrip": _oracle_fluentforward_roundtrip(),
+    "metric_wire_roundtrips": _oracle_metric_wire_roundtrips(),
     "config_pipeline": _oracle_config_pipeline(),
 }
