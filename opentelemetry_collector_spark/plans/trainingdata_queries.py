@@ -469,20 +469,23 @@ FROM hist
 
 
 def q_td_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL uncompressed-codec decode end-to-end: synthesize BMP
-    (24-bpp BI_RGB) and WAV (RIFF PCM16) payloads with closed-form
-    content from the documents ids, decode them with the header-parsing
-    numpy codecs (multimodal.decode_bmp/decode_wav), and aggregate
-    integer-exact unit counts + sums per media for the cross-engine
-    check (the oracle computes the same sums from the closed form,
-    no decoder needed)."""
+    """REAL codec decode end-to-end: synthesize BMP (24-bpp BI_RGB),
+    PNG (zlib-deflated, mixed row filters — a genuinely COMPRESSED
+    format) and WAV (RIFF PCM16) payloads with closed-form content
+    from the documents ids, decode them with the header-parsing numpy
+    codecs (multimodal.decode_bmp/decode_png/decode_wav), and
+    aggregate integer-exact unit counts + sums per media for the
+    cross-engine check (the oracle computes the same sums from the
+    closed form, no decoder needed — the PNG rows only match if
+    inflate + all five filter reversals are exact)."""
     from ..trainingdata.multimodal import decode_media, synthesize_coded_media
 
     _register(spark, sf_dir, "documents")
     media = synthesize_coded_media(spark.table("documents"))
     bmp = decode_media(media.filter(F.col("kind") == "image"), codec="bmp")
+    png = decode_media(media.filter(F.col("kind") == "image_png"), codec="png")
     wav = decode_media(media.filter(F.col("kind") == "audio"), codec="wav")
-    decoded = bmp.unionByName(wav)
+    decoded = bmp.unionByName(png).unionByName(wav)
     return decoded.select(
         "media_id",
         "kind",
@@ -510,6 +513,11 @@ def _oracle_td_media_decode() -> str:
     )
     return f"""
 SELECT doc_id AS media_id, 'image' AS kind,
+       CAST((doc_id % 9 + 3) * (doc_id % 13 + 4) AS BIGINT) AS n_units,
+       CAST({bmp_sum} AS BIGINT) AS unit_sum
+FROM documents
+UNION ALL
+SELECT doc_id AS media_id, 'image_png' AS kind,
        CAST((doc_id % 9 + 3) * (doc_id % 13 + 4) AS BIGINT) AS n_units,
        CAST({bmp_sum} AS BIGINT) AS unit_sum
 FROM documents

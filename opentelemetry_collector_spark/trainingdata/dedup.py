@@ -215,32 +215,47 @@ def _cap_hot_buckets(
     shuffles on the same key as the join itself, so it adds no new
     partitioning.
 
-    Capping is NOT silent: the pre-filter frame carries an ``observe``
-    (named ``observe_name``, or an explicit ``pyspark.sql.Observation``
-    for programmatic access) reporting ``dropped_members`` (rows cut by
-    the cap) and ``capped_buckets`` (buckets that exceeded the limit),
-    so default-path recall loss on a pathological corpus is visible in
-    the query metrics / Spark UI instead of vanishing into a smaller
-    pair count."""
+    Capping is NOT silent. Two observability modes:
+
+    * default: a named ``observe`` AFTER the rank filter reports
+      ``at_cap_buckets`` — the number of buckets whose survivor count
+      hit the limit (every truly capped bucket fires it; a bucket with
+      EXACTLY ``limit`` members is a borderline false positive). It
+      sits above the Filter so Catalyst's partial WindowGroupLimit
+      map-side pruning (asserted in test_plan_quality) stays intact.
+    * an explicit ``pyspark.sql.Observation``: exact
+      ``dropped_members`` / ``capped_buckets`` measured BEFORE the
+      filter — the CollectMetrics node between Filter and Window
+      disables the group-limit pushdown, so this is the diagnostic
+      mode, not the default plan."""
     if limit is None:
         return exploded
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(*key_cols).orderBy("id")
     ranked = exploded.withColumn("_rk", F.row_number().over(w))
-    metrics = [
-        F.coalesce(
-            F.sum((F.col("_rk") > limit).cast("long")), F.lit(0).cast("long")
-        ).alias("dropped_members"),
-        F.coalesce(
-            F.sum((F.col("_rk") == limit + 1).cast("long")), F.lit(0).cast("long")
-        ).alias("capped_buckets"),
-    ]
     if observation is not None:
-        ranked = ranked.observe(observation, *metrics)
-    else:
-        ranked = ranked.observe(observe_name, *metrics)
-    return ranked.filter(F.col("_rk") <= limit).drop("_rk")
+        ranked = ranked.observe(
+            observation,
+            F.coalesce(
+                F.sum((F.col("_rk") > limit).cast("long")), F.lit(0).cast("long")
+            ).alias("dropped_members"),
+            F.coalesce(
+                F.sum((F.col("_rk") == limit + 1).cast("long")),
+                F.lit(0).cast("long"),
+            ).alias("capped_buckets"),
+        )
+        return ranked.filter(F.col("_rk") <= limit).drop("_rk")
+    return (
+        ranked.filter(F.col("_rk") <= limit)
+        .observe(
+            observe_name,
+            F.coalesce(
+                F.sum((F.col("_rk") == limit).cast("long")), F.lit(0).cast("long")
+            ).alias("at_cap_buckets"),
+        )
+        .drop("_rk")
+    )
 
 
 def minhash_lsh_pairs(
@@ -510,25 +525,58 @@ def embedding_near_dup_pairs(
         n_bits = hyperplane_bits_for(df.count())
     planes = make_hyperplanes(n_bits) if n_bits is not None else None
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cos = F.round(
+        _dot(F.col("v_a"), F.col("v_b")) / (F.col("norm_a") * F.col("norm_b")), 6
+    )
+    if use_lsh:
+        # shuffle layout (same pattern as minhash_lsh_pairs): the
+        # bucket self-join moves only (id, bucket) — the ~0.5 KB/row
+        # vector payloads never cross the candidate exchange; vectors
+        # join back AFTER the candidate ids are known, touching
+        # exactly the surviving pairs (round-3 verdict item 3)
+        keys = df.select(
+            F.col(id_col).alias("id"),
+            hyperplane_signature(v, planes).alias("bucket"),
+        )
+        pairs = (
+            keys.select(F.col("id").alias("id_a"), "bucket")
+            .join(keys.select(F.col("id").alias("id_b"), "bucket"), "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        vecs = df.select(
+            F.col(id_col).alias("id"),
+            v.alias("v"),
+            F.sqrt(_dot(v, v)).alias("norm"),
+        )
+        joined = pairs.join(
+            vecs.select(
+                F.col("id").alias("id_a"),
+                F.col("v").alias("v_a"),
+                F.col("norm").alias("norm_a"),
+            ),
+            "id_a",
+        ).join(
+            vecs.select(
+                F.col("id").alias("id_b"),
+                F.col("v").alias("v_b"),
+                F.col("norm").alias("norm_b"),
+            ),
+            "id_b",
+        )
+        return joined.select("id_a", "id_b", cos.alias("cosine")).filter(
+            F.col("cosine") >= threshold
+        )
     base = df.select(
         F.col(id_col).alias("id"),
         v.alias("v"),
         F.sqrt(_dot(v, v)).alias("norm"),
-        *(
-            [hyperplane_signature(v, planes).alias("bucket")]
-            if use_lsh
-            else []
-        ),
     )
     a = base.select(*[F.col(c).alias(c + "_a") for c in base.columns])
     b = base.select(*[F.col(c).alias(c + "_b") for c in base.columns])
-    if use_lsh:
-        joined = a.join(b, F.col("bucket_a") == F.col("bucket_b"))
-    else:
-        joined = a.crossJoin(b)
-    cos = F.round(_dot(F.col("v_a"), F.col("v_b")) / (F.col("norm_a") * F.col("norm_b")), 6)
     return (
-        joined.filter(F.col("id_a") < F.col("id_b"))
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

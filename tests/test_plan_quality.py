@@ -137,6 +137,50 @@ class TestPlanQuality:
                 else:
                     spark.conf.set(k, v)
 
+    def test_embed_near_dup_bucket_join_carries_no_vectors(self, spark):
+        """The embedding near-dup bucket self-join must move only
+        (id, bucket) — vector arrays and norms join back AFTER the
+        candidate pairs are known (round-3 verdict item 3), so the
+        candidate exchange never carries the ~0.5 KB/row payload."""
+        import random
+
+        from opentelemetry_collector_spark.trainingdata import (
+            embedding_near_dup_pairs,
+        )
+
+        random.seed(7)
+        rows = [(i, [random.random() for _ in range(8)]) for i in range(30)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        saved = {
+            k: spark.conf.get(k, None)
+            for k in (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.enabled",
+            )
+        }
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            plan = plan_of(embedding_near_dup_pairs(df, n_bits=4, threshold=0.5))
+            lines = plan.splitlines()
+            bucket_exchanges = [
+                i
+                for i, ln in enumerate(lines)
+                if "Exchange hashpartitioning(bucket" in ln
+            ]
+            assert len(bucket_exchanges) >= 1, plan
+            for i in bucket_exchanges:
+                # the exchange's child Project computes (id, bucket)
+                # only: no norm column and no vector payload alias
+                child = lines[i + 1]
+                assert "norm" not in child and "AS v_a" not in child and "AS v_b" not in child, child
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
     def test_topk_uses_take_ordered(self, spark, parquet_transcripts):
         q = (
             parquet_transcripts.groupBy("conv_id")

@@ -544,8 +544,12 @@ class TestRealCodecs:
         ids = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
         media = synthesize_coded_media(ids).cache()
         bmp = decode_media(media.filter("kind = 'image'"), codec="bmp")
+        png = decode_media(media.filter("kind = 'image_png'"), codec="png")
         wav = decode_media(media.filter("kind = 'audio'"), codec="wav")
-        rows = {(r["media_id"], r["kind"]): r for r in bmp.unionByName(wav).collect()}
+        rows = {
+            (r["media_id"], r["kind"]): r
+            for r in bmp.unionByName(png).unionByName(wav).collect()
+        }
         for i in range(12):
             w, h = i % 13 + 4, i % 9 + 3
             r, c = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
@@ -553,11 +557,40 @@ class TestRealCodecs:
             got = rows[(i, "image")]["pixels"]
             assert len(got) == w * h
             assert np.array_equal(np.array(got), gray.ravel().astype(np.float64))
+            # PNG carries the SAME pixel content through a genuinely
+            # compressed path (inflate + filter reversal)
+            got_png = rows[(i, "image_png")]["pixels"]
+            assert np.array_equal(np.array(got_png), gray.ravel().astype(np.float64))
             n = i % 50 + 10
             samples = (i * 7 + np.arange(n) * 11) % 65536 - 32768
             got_a = rows[(i, "audio")]["pixels"]
             assert np.array_equal(np.array(got_a), samples.astype(np.float64))
         media.unpersist()
+
+    def test_png_codec_round_trip_all_filters(self):
+        from opentelemetry_collector_spark.trainingdata.multimodal import (
+            decode_png, encode_png,
+        )
+
+        rng = np.random.RandomState(3)
+        for h, w in [(1, 1), (3, 4), (9, 13), (17, 31), (5, 1)]:
+            g = rng.randint(0, 256, (h, w)).astype(np.uint8)
+            # filter_mix exercises None/Sub/Up/Average/Paeth reversal
+            assert np.array_equal(decode_png(encode_png(g)), g)
+            assert np.array_equal(decode_png(encode_png(g, filter_mix=False)), g)
+
+    def test_png_decoder_is_strict(self):
+        from opentelemetry_collector_spark.trainingdata.multimodal import (
+            decode_png, encode_png,
+        )
+
+        g = np.arange(12, dtype=np.uint8).reshape(3, 4)
+        blob = bytearray(encode_png(g))
+        with pytest.raises(ValueError):
+            decode_png(b"\x89PNF" + bytes(blob[4:]))  # bad signature
+        blob[40] ^= 0xFF  # corrupt a byte inside IDAT → CRC mismatch
+        with pytest.raises(ValueError):
+            decode_png(bytes(blob))
 
 
 class TestSimHashLsh:
