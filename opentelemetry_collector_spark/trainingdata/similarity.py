@@ -105,20 +105,26 @@ def ivf_train_centroids(
     iteration count, ties broken by centroid index."""
     import numpy as np
 
-    dim = len(df.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
-    # seeded REPRESENTATIVE sample for the init pool: a plain
-    # limit(4k) takes the first partitions in order, so on a sorted or
-    # clustered table the seed pool — and thus every centroid — comes
-    # from one corner of the space. A Bernoulli sample scans but
-    # touches only vec_col; fall back to limit() only if the sampled
-    # pool came back short (tiny corpus).
-    n = df.count()
-    frac = min(1.0, (8.0 * k) / max(n, 1))
-    sample = df.select(vec_col).sample(fraction=frac, seed=seed).limit(8 * k).collect()
-    if len(sample) < min(k, n):
-        sample = df.select(vec_col).limit(4 * k).collect()
-    pool = np.array([list(r[0]) for r in sample], dtype=np.float64)
+    # seeded REPRESENTATIVE sample for the init pool in ONE job (the
+    # r3 verdict flagged the old count()+first()+sample() trio as two
+    # extra full scans before training started): take the 8k smallest
+    # seeded-xxhash values — a deterministic pseudo-random top-k
+    # (TakeOrdered, no shuffle of the data itself) that is layout-
+    # independent, unlike limit(), which on a sorted/clustered table
+    # would seed every centroid from one corner of the space. The pool
+    # also yields dim and a short-corpus signal for free.
+    sample = (
+        df.select(F.col(vec_col).alias("v"))
+        .withColumn("_h", F.xxhash64(F.col("v"), F.lit(seed)))
+        .orderBy("_h")
+        .limit(8 * k)
+        .collect()
+    )
+    if not sample:
+        raise ValueError("cannot train IVF centroids on an empty table")
+    pool = np.array([list(r["v"]) for r in sample], dtype=np.float64)
+    dim = pool.shape[1]
     centroids = pool[rng.choice(len(pool), size=min(k, len(pool)), replace=False)]
 
     v = _as_double(vec_col)
