@@ -193,6 +193,33 @@ class TestGoldenRoundTrips:
         assert pairs_kd == set(itertools.product(KINDS, DURATIONS_US))
 
 
+def _hostile_log_corpus(spark):
+    rows = []
+    for i, (role, tool, text) in enumerate(
+        itertools.product(
+            ["user", "assistant", "system", "tool"],
+            [None, "search"],
+            NAMES,
+        )
+    ):
+        rows.append((f"c{i % 3}", i, role, text, tool, BASE_US + i * 7))
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts_us long",
+    ).select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.timestamp_micros("ts_us").alias("ts"),
+    )
+
+
+def _canon_logs(d):
+    cols = ["conv_id", "turn_idx", "role", "text", "tool"]
+    return d.select(
+        *cols, F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+
+
 class TestGoldenLogsRoundTrip:
     def test_otlp_logs_identity_on_hostile_text(self, spark):
         from opentelemetry_collector_spark.sources.otlp_json import (
@@ -200,30 +227,27 @@ class TestGoldenLogsRoundTrip:
             logs_to_otlp_json,
         )
 
-        rows = []
-        for i, (role, tool, text) in enumerate(
-            itertools.product(
-                ["user", "assistant", "system", "tool"],
-                [None, "search"],
-                NAMES,
-            )
-        ):
-            rows.append((f"c{i % 3}", i, role, text, tool, BASE_US + i * 7))
-        df = spark.createDataFrame(
-            rows,
-            "conv_id string, turn_idx int, role string, text string,"
-            " tool string, ts_us long",
-        ).select(
-            "conv_id", "turn_idx", "role", "text", "tool",
-            F.timestamp_micros("ts_us").alias("ts"),
-        )
+        df = _hostile_log_corpus(spark)
         back = logs_from_otlp_json(logs_to_otlp_json(df))
-        cols = ["conv_id", "turn_idx", "role", "text", "tool"]
-        canon = lambda d: d.select(  # noqa: E731
-            *cols, F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+        assert _canon_logs(back).subtract(_canon_logs(df)).count() == 0
+        assert _canon_logs(df).subtract(_canon_logs(back)).count() == 0
+
+    @pytest.mark.parametrize(
+        "mode", ["message", "forward", "packed_forward", "packed_forward_gzip"]
+    )
+    def test_fluentforward_identity_on_hostile_text(self, spark, mode):
+        """The msgpack wire through every carrier mode on the same
+        hostile-text corpus (unicode, quotes, newlines, braces) — the
+        Body and every attribute must survive byte-exactly."""
+        from opentelemetry_collector_spark.sources.fluentforward import (
+            fluent_to_transcripts,
+            transcripts_to_fluent,
         )
-        assert canon(back).subtract(canon(df)).count() == 0
-        assert canon(df).subtract(canon(back)).count() == 0
+
+        df = _hostile_log_corpus(spark)
+        back = fluent_to_transcripts(transcripts_to_fluent(df, mode=mode))
+        assert _canon_logs(back).subtract(_canon_logs(df)).count() == 0
+        assert _canon_logs(df).subtract(_canon_logs(back)).count() == 0
 
 
 class TestGoldenMetricsRoundTrip:

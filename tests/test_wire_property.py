@@ -439,3 +439,84 @@ def test_thrift_truncation_raises_not_hangs(fields, cut_pct):
             r.skip(ftype)
     except (ValueError, IndexError, struct.error):
         pass
+
+
+# -------------------------------------------------------------- msgpack
+
+from opentelemetry_collector_spark.functions import msgpack_binary as mp  # noqa: E402
+
+# arbitrary msgpack value trees: scalars, strings across size-class
+# boundaries, bytes, EventTime exts, nested arrays/maps
+_mp_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    int64s,
+    st.integers(min_value=1 << 63, max_value=(1 << 64) - 1),  # uint64 range
+    finite_doubles,
+    st.text(max_size=70),
+    st.binary(max_size=70),
+    st.builds(
+        mp.EventTime,
+        st.integers(0, (1 << 32) - 1),
+        st.integers(0, 999_999_999),
+    ),
+)
+_mp_values = st.recursive(
+    _mp_scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=6),
+        st.dictionaries(st.text(max_size=10), children, max_size=6),
+    ),
+    max_leaves=20,
+)
+
+
+def _mp_eq(a, b):
+    """Float-exact structural equality (== would call 0.0 == False)."""
+    if type(a) is not type(b):
+        # int/bool distinction matters: msgpack encodes them differently
+        return False
+    if isinstance(a, list):
+        return len(a) == len(b) and all(_mp_eq(x, y) for x, y in zip(a, b))
+    if isinstance(a, dict):
+        return a.keys() == b.keys() and all(_mp_eq(v, b[k]) for k, v in a.items())
+    if isinstance(a, float):
+        return struct.pack(">d", a) == struct.pack(">d", b)
+    return a == b
+
+
+@settings(max_examples=300)
+@given(_mp_values)
+def test_msgpack_roundtrip(v):
+    assert _mp_eq(mp.unpackb(mp.packb(v)), v)
+
+
+@settings(max_examples=200)
+@given(_mp_values, st.integers(0, 99))
+def test_msgpack_truncation_raises_not_garbage(v, cut_pct):
+    buf = mp.packb(v)
+    cut = buf[: len(buf) * cut_pct // 100]
+    if cut == buf:
+        return
+    try:
+        mp.unpackb(cut)
+    except ValueError:
+        return
+    # a strict prefix that still parses must be a shorter VALID value
+    # followed by trailing bytes — unpackb rejects those too, so
+    # reaching here means silent garbage
+    raise AssertionError("truncated msgpack decoded without error")
+
+
+@settings(max_examples=150)
+@given(st.lists(_mp_values, min_size=1, max_size=5))
+def test_msgpack_concatenated_stream(values):
+    p = mp.Packer()
+    for v in values:
+        p.pack(v)
+    u = mp.Unpacker(bytes(p.out))
+    out = []
+    while u.pos < len(u.buf):
+        out.append(u.unpack())
+    assert len(out) == len(values)
+    assert all(_mp_eq(a, b) for a, b in zip(out, values))
