@@ -115,15 +115,17 @@ def q_td_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_td_minhash_lsh_pairs() -> str:
+def _sql_minhash_pair_ctes() -> str:
+    """CTE chain ending in ``scored_pairs(id_a, id_b, jaccard)`` —
+    shared by the pair oracle and the connected-components oracle so
+    both grade the exact same candidate set."""
     band_keys = (
         f"list_transform(generate_series(0, {MINHASH_BANDS - 1}), "
         f"b -> array_to_string(list_transform("
         f"list_slice(sig, b * {MINHASH_ROWS} + 1, b * {MINHASH_ROWS} + {MINHASH_ROWS}), "
         f"x -> CAST(x AS VARCHAR)), '-'))"
     )
-    return f"""
-WITH base AS (
+    return f"""base AS (
   SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents
 ), hashed AS (
   SELECT doc_id, sh, list_transform(sh, s -> {_sql_rolling('s')}) AS bases FROM base
@@ -143,12 +145,19 @@ WITH base AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, l.sh AS sh_a, r.sh AS sh_b
   FROM exploded l JOIN exploded r
     ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.doc_id < r.doc_id
-)
-SELECT id_a, id_b,
-       round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-             / CAST(len(list_distinct(sh_a || sh_b)) AS DOUBLE), 6) AS jaccard
-FROM pairs
-"""
+), scored_pairs AS (
+  SELECT id_a, id_b,
+         round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+               / CAST(len(list_distinct(sh_a || sh_b)) AS DOUBLE), 6) AS jaccard
+  FROM pairs
+)"""
+
+
+def _oracle_td_minhash_lsh_pairs() -> str:
+    return (
+        f"WITH {_sql_minhash_pair_ctes()}\n"
+        "SELECT id_a, id_b, jaccard FROM scored_pairs"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -529,6 +538,152 @@ FROM documents
 """
 
 
+def q_td_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (trainingdata.assign_split):
+    md5-keyed bucket in [0,10000) → contiguous cumulative ranges, so
+    the assignment is a pure function of doc_id — identical across
+    engines, sessions, seeds, row orders and hardware (the property
+    that keeps eval data out of training across re-runs). The oracle
+    recomputes the same md5 arithmetic in DuckDB; count + sum(doc_id)
+    + bucket range per split pin both the assignment and the
+    boundaries."""
+    from ..trainingdata import assign_split, split_bucket
+
+    _register(spark, sf_dir, "documents")
+    d = spark.table("documents")
+    key = F.col("doc_id")
+    return (
+        d.select(
+            assign_split(key, {"train": 0.8, "val": 0.1, "test": 0.1}).alias("split"),
+            "doc_id",
+            split_bucket(key).alias("bucket"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("sum_id"),
+            F.min("bucket").alias("min_bucket"),
+            F.max("bucket").alias("max_bucket"),
+        )
+    )
+
+
+def _oracle_td_split_assign() -> str:
+    return """
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+           % 10000 AS bucket
+  FROM documents
+), s AS (
+  SELECT doc_id, bucket,
+         CASE WHEN bucket >= 9000 THEN 'test'
+              WHEN bucket >= 8000 THEN 'val'
+              ELSE 'train' END AS split
+  FROM b
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS sum_id,
+       CAST(min(bucket) AS BIGINT) AS min_bucket,
+       CAST(max(bucket) AS BIGINT) AS max_bucket
+FROM s
+GROUP BY 1
+"""
+
+
+def q_td_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: MinHash-LSH pairs at jaccard ≥ 0.7
+    → connected components (alternating large-star/small-star,
+    trainingdata.components) → per-component membership stats. This is
+    the step that turns transitive pair collisions (A~B, B~C) into ONE
+    dedup cluster; component = min doc_id, the deterministic survivor
+    key. The oracle recomputes the identical pair set (shared CTE
+    chain) and resolves components via a recursive transitive-closure
+    CTE — exact at sf scale, verification-only (the closure is O(n^2)
+    per component; the Spark side is the O(log^2 n) star algorithm)."""
+    from ..trainingdata import connected_components
+
+    _register(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(spark.table("documents"), jaccard_threshold=0.7)
+    comps = connected_components(pairs)
+    return comps.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("node").alias("sum_members"),
+        F.max("node").alias("max_member"),
+    )
+
+
+def _oracle_td_dup_components() -> str:
+    return f"""
+WITH RECURSIVE {_sql_minhash_pair_ctes()},
+thr AS (
+  SELECT id_a, id_b FROM scored_pairs WHERE jaccard >= 0.7
+), e AS (
+  SELECT id_a AS u, id_b AS v FROM thr
+  UNION
+  SELECT id_b, id_a FROM thr
+), reach AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+), comp AS (
+  SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u
+)
+SELECT component, CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(node) AS BIGINT) AS sum_members,
+       CAST(max(node) AS BIGINT) AS max_member
+FROM comp GROUP BY component
+"""
+
+
+_STRAT_FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.1, "zh": 0.75}
+_STRAT_SALT = "|curation-v1"
+
+
+def q_td_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling by language
+    (trainingdata.stratified_sample): per-stratum md5-bucket
+    thresholds, salted so the sample decorrelates from assign_split's
+    buckets on the same key. 'es' is deliberately absent from the
+    fractions → dropped, pinning the fraction-0 default. Membership is
+    a pure function of (doc_id, salt), so the oracle reproduces the
+    exact kept set, not just its size distribution."""
+    from ..trainingdata import stratified_sample
+
+    _register(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        spark.table("documents"),
+        _STRAT_FRACTIONS,
+        strata_col="lang",
+        key_col="doc_id",
+        salt=_STRAT_SALT,
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("sum_id"),
+    )
+
+
+def _oracle_td_stratified_sample() -> str:
+    case = " ".join(
+        f"WHEN '{lang}' THEN {int(round(frac * 10000))}"
+        for lang, frac in _STRAT_FRACTIONS.items()
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{_STRAT_SALT}'), 1, 8))
+              AS UBIGINT) % 10000 AS bucket
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS sum_id
+FROM b
+WHERE bucket < CASE lang {case} ELSE 0 END
+GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry fragments (merged by entry_queries)
 # ---------------------------------------------------------------------------
@@ -546,6 +701,9 @@ TD_QUERIES = {
     "td_fingerprint": q_td_fingerprint,
     "td_media_features": q_td_media_features,
     "td_media_decode": q_td_media_decode,
+    "td_split_assign": q_td_split_assign,
+    "td_dup_components": q_td_dup_components,
+    "td_stratified_sample": q_td_stratified_sample,
 }
 
 TD_ORACLES = {
@@ -561,4 +719,7 @@ TD_ORACLES = {
     "td_fingerprint": _oracle_td_fingerprint(),
     "td_media_features": _oracle_td_media_features(),
     "td_media_decode": _oracle_td_media_decode(),
+    "td_split_assign": _oracle_td_split_assign(),
+    "td_dup_components": _oracle_td_dup_components(),
+    "td_stratified_sample": _oracle_td_stratified_sample(),
 }

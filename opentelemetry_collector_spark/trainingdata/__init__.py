@@ -20,8 +20,12 @@ from .text import (
     quality_score,
     lang_id_scores,
     lang_id,
+    assign_split,
     doc_fingerprint,
+    split_bucket,
+    stratified_sample,
 )
+from .components import connected_components, near_dup_survivors
 from .dedup import (
     exact_dedup_clusters,
     minhash_signature,

@@ -12,7 +12,7 @@ needs a bit-identical definition on both sides.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # shared arithmetic-hash constants (same literals in the SQL oracles)
@@ -143,3 +143,92 @@ def doc_fingerprint(col: Column) -> Column:
     shingle-hash primitive."""
     normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
     return rolling_hash(normalized)
+
+
+# ---------------------------------------------------------------------------
+# deterministic dataset splits
+# ---------------------------------------------------------------------------
+
+def split_bucket(col: Column, n_buckets: int = 10_000) -> Column:
+    """Deterministic hash bucket in [0, n_buckets) from a key column:
+    the first 8 hex chars of md5(key) as an integer, mod n_buckets.
+    md5 (not xxhash64) so an external engine — or the same pipeline
+    re-run years later on different hardware — assigns every document
+    the SAME bucket: dataset splits must be a property of the KEY, not
+    of a session, a seed, or row order (``F.rand`` re-splits on every
+    retry and shuffles records across train/val between runs, which
+    leaks eval data into training)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+        .cast("long") % n_buckets
+    )
+
+
+def assign_split(
+    col: Column,
+    fractions: dict[str, float] | None = None,
+    n_buckets: int = 10_000,
+) -> Column:
+    """Stable train/val/test assignment from cumulative bucket ranges:
+    ``fractions`` (name → fraction, summing to ≤ 1, remainder goes to
+    the FIRST split) maps to contiguous bucket ranges, so enlarging
+    val from 1% to 2% only MOVES the boundary — documents never swap
+    between val and test, the property that keeps eval sets stable as
+    split ratios evolve."""
+    if fractions is None:
+        fractions = {"train": 0.98, "val": 0.01, "test": 0.01}
+    if not fractions:
+        raise ValueError("fractions must name at least one split")
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    names = list(fractions)
+    bucket = split_bucket(col, n_buckets)
+    # assign from the END of the bucket range backward so the first
+    # split absorbs any rounding remainder
+    expr = F.lit(names[0])
+    hi = n_buckets
+    for name in reversed(names[1:]):
+        width = int(round(fractions[name] * n_buckets))
+        lo = hi - width
+        expr = F.when((bucket >= lo) & (bucket < hi), F.lit(name)).otherwise(expr)
+        hi = lo
+    return expr
+
+
+def stratified_sample(
+    df,
+    fractions: dict[str, float],
+    strata_col: str,
+    key_col: str,
+    n_buckets: int = 10_000,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: a row survives iff its
+    key's md5 bucket falls below ``round(frac * n_buckets)`` for its
+    stratum. Unlike ``df.sample`` / ``F.rand`` (whose membership
+    depends on partitioning, retries and seed plumbing), the kept set
+    is a pure function of the KEY: re-runs, task retries, row order
+    and cluster size cannot change the sample, and growing a stratum's
+    fraction only ADDS rows (the kept set is a bucket-space prefix) —
+    incremental re-curation keeps everything already sampled. Strata
+    absent from ``fractions`` are dropped (fraction 0). ``salt``
+    decorrelates this sample from other hash uses of the same key
+    (e.g. ``assign_split``): different salts draw independent buckets.
+
+    One whole-stage-codegen filter over the scan — no shuffle, no UDF;
+    at 100 TB this is a predicate, not a job.
+    """
+    thresh = None
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {name!r} is {frac}, not in [0, 1]")
+        t = F.lit(int(round(frac * n_buckets)))
+        cond = F.col(strata_col) == name
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    if thresh is None:
+        raise ValueError("fractions must name at least one stratum")
+    key = F.col(key_col).cast("string")
+    if salt:
+        key = F.concat(key, F.lit(salt))
+    return df.filter(split_bucket(key, n_buckets) < thresh.otherwise(F.lit(0)))

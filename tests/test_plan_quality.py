@@ -181,6 +181,28 @@ class TestPlanQuality:
                 else:
                     spark.conf.set(k, v)
 
+    def test_stratified_sample_is_pure_pushed_filter(self, spark, tmp_path):
+        """stratified_sample must compile to a codegen filter over the
+        scan — no Exchange, no Python eval — so at 100 TB it is a
+        predicate inside the read, not a job of its own."""
+        from opentelemetry_collector_spark.trainingdata import stratified_sample
+
+        p = str(tmp_path / "docs")
+        spark.createDataFrame(
+            [(i, "en" if i % 2 else "de") for i in range(100)],
+            "doc_id long, lang string",
+        ).write.parquet(p)
+        df = stratified_sample(
+            spark.read.parquet(p), {"en": 0.5}, "lang", "doc_id"
+        )
+        plan = plan_of(df)
+        assert "Exchange" not in plan, plan
+        assert "Python" not in plan and "ArrowEval" not in plan, plan
+        # "*(1) Filter" = the filter runs inside whole-stage codegen
+        # stage 1 (executedPlan().toString() marks codegen stages with
+        # "*(n)"; the literal word only appears in formatted explain)
+        assert "*(1) Filter" in plan, plan
+
     def test_topk_uses_take_ordered(self, spark, parquet_transcripts):
         q = (
             parquet_transcripts.groupBy("conv_id")

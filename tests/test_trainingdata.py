@@ -593,6 +593,247 @@ class TestRealCodecs:
             decode_png(bytes(blob))
 
 
+class TestAssignSplit:
+    @pytest.fixture(scope="class")
+    def keyed(self, spark):
+        return spark.createDataFrame(
+            [(i,) for i in range(2000)], "doc_id long"
+        ).cache()
+
+    def test_split_is_deterministic_and_complete(self, keyed):
+        from opentelemetry_collector_spark.trainingdata import assign_split
+
+        from pyspark.sql import functions as F
+
+        fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+        a = {r["doc_id"]: r["s"] for r in keyed.select(
+            "doc_id", assign_split(F.col("doc_id"), fr).alias("s")).collect()}
+        b = {r["doc_id"]: r["s"] for r in keyed.select(
+            "doc_id", assign_split(F.col("doc_id"), fr).alias("s")).collect()}
+        assert a == b
+        counts = {}
+        for s in a.values():
+            counts[s] = counts.get(s, 0) + 1
+        # every doc assigned; fractions roughly honored (md5-uniform)
+        assert sum(counts.values()) == 2000
+        assert 0.7 < counts["train"] / 2000 < 0.9
+        assert 0.05 < counts["val"] / 2000 < 0.15
+
+    def test_growing_val_never_swaps_val_and_test(self, keyed):
+        """Boundary-stability: enlarging val only moves the train/val
+        boundary — no document ever moves between val and test, so a
+        ratio change cannot leak one eval set into the other."""
+        from opentelemetry_collector_spark.trainingdata import assign_split
+
+        from pyspark.sql import functions as F
+
+        small = {r["doc_id"]: r["s"] for r in keyed.select(
+            "doc_id",
+            assign_split(F.col("doc_id"), {"train": 0.89, "val": 0.01, "test": 0.1}).alias("s"),
+        ).collect()}
+        big = {r["doc_id"]: r["s"] for r in keyed.select(
+            "doc_id",
+            assign_split(F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}).alias("s"),
+        ).collect()}
+        for k in small:
+            if small[k] == "test":
+                assert big[k] == "test", k      # test set frozen
+            if small[k] == "val":
+                assert big[k] == "val", k       # val only grows
+            if big[k] == "val" and small[k] != "val":
+                assert small[k] == "train", k   # growth came from train
+
+    def test_bad_fractions_rejected(self, keyed):
+        from opentelemetry_collector_spark.trainingdata import assign_split
+
+        from pyspark.sql import functions as F
+
+        with pytest.raises(ValueError):
+            assign_split(F.col("doc_id"), {"a": 0.9, "b": 0.2})
+        with pytest.raises(ValueError):
+            assign_split(F.col("doc_id"), {})
+
+    def test_bucket_matches_reference_md5(self, spark):
+        from opentelemetry_collector_spark.trainingdata import split_bucket
+
+        import hashlib
+
+        from pyspark.sql import functions as F
+
+        rows = spark.createDataFrame(
+            [("doc-1",), ("x",), ("42",)], "k string"
+        ).select("k", split_bucket(F.col("k")).alias("b")).collect()
+        for r in rows:
+            want = int(hashlib.md5(r["k"].encode()).hexdigest()[:8], 16) % 10_000
+            assert r["b"] == want, r
+
+
+class TestConnectedComponents:
+    @staticmethod
+    def _union_find(n_nodes, edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        return {x: find(x) for x in parent}
+
+    def _check(self, spark, edges):
+        from opentelemetry_collector_spark.trainingdata import connected_components
+
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        want = self._union_find(0, [e for e in edges if e[0] != e[1]])
+        assert got == want
+
+    def test_matches_union_find_on_random_graphs(self, spark):
+        import random
+
+        rng = random.Random(4242)
+        edges = [
+            (rng.randrange(300), rng.randrange(300)) for _ in range(220)
+        ]
+        self._check(spark, edges)
+
+    def test_long_chain_converges(self, spark):
+        # worst-case diameter for min-propagation; the star algorithm
+        # must still converge in O(log^2 n) alternating rounds
+        self._check(spark, [(i, i + 1) for i in range(60)])
+
+    def test_disjoint_cliques_and_duplicates(self, spark):
+        edges = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (1, 2), (2, 1), (5, 5)]
+        self._check(spark, edges)
+
+    def test_empty_edges(self, spark):
+        from opentelemetry_collector_spark.trainingdata import connected_components
+
+        df = spark.createDataFrame([], "id_a long, id_b long")
+        assert connected_components(df).count() == 0
+
+    def test_near_dup_survivors_keeps_component_minimum(self, spark):
+        from opentelemetry_collector_spark.trainingdata import near_dup_survivors
+
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(10)], "doc_id long, text string"
+        )
+        # components {1,2,3} and {7,8}; 0,4,5,6,9 untouched
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+        )
+        kept = sorted(
+            r["doc_id"] for r in near_dup_survivors(docs, pairs).collect()
+        )
+        assert kept == [0, 1, 4, 5, 6, 7, 9]
+
+    def test_each_node_labelled_once_with_component_min(self, spark):
+        from opentelemetry_collector_spark.trainingdata import connected_components
+
+        df = spark.createDataFrame(
+            [(7, 3), (3, 9), (20, 21)], "id_a long, id_b long"
+        )
+        rows = connected_components(df).collect()
+        nodes = [r["node"] for r in rows]
+        assert sorted(nodes) == [3, 7, 9, 20, 21]      # exactly once each
+        comp = {r["node"]: r["component"] for r in rows}
+        assert comp == {3: 3, 7: 3, 9: 3, 20: 20, 21: 20}
+
+
+class TestStratifiedSample:
+    @pytest.fixture(scope="class")
+    def strat_df(self, spark):
+        rows = [(i, ["en", "de", "fr", "es"][i % 4]) for i in range(2000)]
+        return spark.createDataFrame(rows, "doc_id long, lang string").cache()
+
+    def test_deterministic_and_fraction_sized(self, strat_df):
+        from opentelemetry_collector_spark.trainingdata import stratified_sample
+
+        fr = {"en": 0.5, "de": 0.2}
+        a = sorted(
+            (r["doc_id"], r["lang"])
+            for r in stratified_sample(strat_df, fr, "lang", "doc_id").collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["lang"])
+            for r in stratified_sample(strat_df, fr, "lang", "doc_id").collect()
+        )
+        assert a == b
+        by_lang = {}
+        for _, lang in a:
+            by_lang[lang] = by_lang.get(lang, 0) + 1
+        assert set(by_lang) == {"en", "de"}           # absent strata dropped
+        assert 0.4 < by_lang["en"] / 500 < 0.6
+        assert 0.1 < by_lang["de"] / 500 < 0.3
+
+    def test_growing_fraction_only_adds_rows(self, strat_df):
+        from opentelemetry_collector_spark.trainingdata import stratified_sample
+
+        small = {
+            r["doc_id"]
+            for r in stratified_sample(strat_df, {"en": 0.2}, "lang", "doc_id").collect()
+        }
+        big = {
+            r["doc_id"]
+            for r in stratified_sample(strat_df, {"en": 0.5}, "lang", "doc_id").collect()
+        }
+        assert small <= big                            # bucket-space prefix
+
+    def test_salt_decorrelates(self, strat_df):
+        from opentelemetry_collector_spark.trainingdata import stratified_sample
+
+        base = {
+            r["doc_id"]
+            for r in stratified_sample(strat_df, {"en": 0.5}, "lang", "doc_id").collect()
+        }
+        salted = {
+            r["doc_id"]
+            for r in stratified_sample(
+                strat_df, {"en": 0.5}, "lang", "doc_id", salt="|v2"
+            ).collect()
+        }
+        assert salted != base
+        # ~independent draws: overlap near 25% of the stratum, far from
+        # 0% (disjoint) and 50% (identical)
+        overlap = len(base & salted) / 500
+        assert 0.1 < overlap < 0.4
+
+    def test_matches_reference_md5(self, strat_df):
+        import hashlib
+
+        from opentelemetry_collector_spark.trainingdata import stratified_sample
+
+        kept = {
+            r["doc_id"]
+            for r in stratified_sample(
+                strat_df, {"en": 0.3}, "lang", "doc_id", salt="|x"
+            ).collect()
+        }
+        want = {
+            i
+            for i in range(0, 2000, 4)  # lang == "en"
+            if int(hashlib.md5(f"{i}|x".encode()).hexdigest()[:8], 16) % 10_000 < 3000
+        }
+        assert kept == want
+
+    def test_bad_fraction_rejected(self, strat_df):
+        from opentelemetry_collector_spark.trainingdata import stratified_sample
+
+        with pytest.raises(ValueError):
+            stratified_sample(strat_df, {"en": 1.5}, "lang", "doc_id")
+        with pytest.raises(ValueError):
+            stratified_sample(strat_df, {}, "lang", "doc_id")
+
+
 class TestSimHashLsh:
     def test_near_dups_found_with_hamming(self, docs):
         from opentelemetry_collector_spark.trainingdata import simhash_lsh_pairs

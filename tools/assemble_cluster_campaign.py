@@ -8,7 +8,10 @@ graded by the same rule as runs recorded after):
   clean    = steady passes with ext_frac <= 0.10, host_ext_frac <= 0.12
              and pass CPU-seconds <= 1.15 x the leg's minimum (the work
              per pass is constant, so excess CPU measures interference
-             that guest /proc cannot see)
+             that guest /proc cannot see); the minimum is taken over
+             externally-clean passes with self_util > 0 only — a pass
+             whose worker tree died mid-pass reports NEGATIVE CPU and
+             a negative floor would mark every healthy pass dirty
   rep/leg  = median(clean) when both legs keep >= 3 clean passes,
              else min(steady) for BOTH legs (symmetric fallback)
   eff/run  = (rows/rep_hi) / (4 x rows/rep_lo)
@@ -28,15 +31,20 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def leg_estimate(leg: dict, cores: int) -> tuple[float, str, int]:
     steady = leg["passes"][2:]
-    cpu = [p["sec"] * cores * p["self_util"] for p in steady]
-    cpu_min = min(cpu)
-    clean = [
-        p["sec"]
-        for p, c in zip(steady, cpu)
+    # CPU floor over externally-clean, sanely-accounted passes only:
+    # a mid-pass worker-tree death reports NEGATIVE pass CPU and a
+    # negative floor would mark every healthy pass dirty (observed
+    # 2026-08-18: 1117s pass, self_util -0.044)
+    ext_ok = [
+        p
+        for p in steady
         if p["ext_frac"] <= 0.10
         and p["host_ext_frac"] <= 0.12
-        and c <= 1.15 * cpu_min
+        and p["self_util"] > 0
     ]
+    cpu = [p["sec"] * cores * p["self_util"] for p in ext_ok]
+    cpu_min = min(cpu) if cpu else float("inf")
+    clean = [p["sec"] for p, c in zip(ext_ok, cpu) if c <= 1.15 * cpu_min]
     if len(clean) >= 3:
         return sorted(clean)[len(clean) // 2], "median_clean", len(clean)
     return min(p["sec"] for p in steady), "min_steady", len(clean)
@@ -84,9 +92,12 @@ def main() -> None:
             "executor each, taskset-pinned, tmpfs local dirs, DISK_ONLY "
             "persists, sequential sink submission; per-pass cleanliness: "
             "ext_frac<=0.10, host_ext_frac<=0.12, pass CPU-seconds "
-            "<=1.15x leg minimum; rep = median of clean steady passes, "
-            "symmetric min-of-steady fallback"
+            "<=1.15x leg minimum (floor over externally-clean passes "
+            "with self_util>0 — a mid-pass worker death reports "
+            "negative CPU and must not poison the floor); rep = median "
+            "of clean steady passes, symmetric min-of-steady fallback"
         ),
+        "sources": [os.path.basename(p) for p in sys.argv[1:]],
         "input_rows": runs[0]["raw"]["low"]["rows"],
         "n_runs": len(runs),
         "efficiencies": effs,

@@ -172,11 +172,19 @@ steady = passes[2:]
 # sharing is invisible to guest /proc — observed 2026-08-18 02:20: a
 # 94s pass, 2.3x the 37s clean passes, with ext_frac = host_ext_frac
 # = 0.0), not throughput. Symmetric across legs.
-cpu = [p["sec"] * cores * p["self_util"] for p in steady]
-cpu_min = min(cpu)
-clean = [p["sec"] for p, c in zip(steady, cpu)
-         if p["ext_frac"] <= 0.10 and p["host_ext_frac"] <= 0.12
-         and c <= 1.15 * cpu_min]
+# The CPU floor is taken over externally-clean passes with sane
+# accounting only (self_util > 0): a pass where the worker tree DIED
+# mid-pass reports NEGATIVE CPU (the dead child's ticks vanish from
+# /proc), and a negative floor would mark every healthy pass dirty —
+# observed run 2, 2026-08-18 05:20: an 1117s pass with self_util
+# -0.044 poisoned cpu_min and forced the fallback although 5 of 6
+# remaining passes were pristine.
+ext_ok = [p for p in steady
+          if p["ext_frac"] <= 0.10 and p["host_ext_frac"] <= 0.12
+          and p["self_util"] > 0]
+cpu = [p["sec"] * cores * p["self_util"] for p in ext_ok]
+cpu_min = min(cpu) if cpu else float("inf")
+clean = [p["sec"] for p, c in zip(ext_ok, cpu) if c <= 1.15 * cpu_min]
 if len(clean) >= 3:
     rep, estimator = sorted(clean)[len(clean) // 2], "median_clean"
 else:
