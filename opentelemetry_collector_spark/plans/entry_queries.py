@@ -532,27 +532,6 @@ GROUP BY 1
 """
 
 
-def q_token_count_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token counting per document, aggregated by lang —
-    the text-analysis token-count primitive."""
-    _register(spark, sf_dir, "documents")
-    docs = spark.table("documents")
-    n_tokens = F.size(F.split(F.trim(F.col("text")), " +"))
-    return docs.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(n_tokens.cast("long")).alias("total_tokens"),
-    )
-
-
-def _oracle_token_count_by_lang() -> str:
-    return """
-SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(len(string_split_regex(trim(text), ' +'))) AS BIGINT) AS total_tokens
-FROM documents
-GROUP BY 1
-"""
-
-
 def q_turn_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation session analysis with window functions: per-role
     sum/count of inter-turn gaps (ts − lag(ts) within conv_id ordered
@@ -752,9 +731,18 @@ GROUP BY 1, 2
 
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed training-data curation: quality-filter → exact dedup →
-    per-language survivor stats (docs, total whitespace tokens) — the
-    canonical pretraining-corpus cleanup expressed as one plan."""
-    from ..trainingdata import exact_dedup_clusters, quality_score, token_count
+    per-language survivor stats (docs, total tokens under BOTH
+    tokenizers: whitespace and the BPE-ish pre-split) — the canonical
+    pretraining-corpus cleanup expressed as one plan. Carries the
+    driver-verified row for the token-count primitives (the standalone
+    token_count_by_lang query was consolidated here — same grouping,
+    same whitespace tokenizer — to hold the 50-row budget)."""
+    from ..trainingdata import (
+        bpe_ish_token_count,
+        exact_dedup_clusters,
+        quality_score,
+        token_count,
+    )
 
     _register(spark, sf_dir, "documents")
     docs = spark.table("documents")
@@ -767,6 +755,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count(F.col("text"))).alias("total_tokens"),
+        F.sum(bpe_ish_token_count(F.col("text"))).alias("total_bpe_tokens"),
     )
 
 
@@ -800,7 +789,8 @@ WITH good AS (
   GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
 )
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(len(string_split_regex(lower(trim(text)), ' +'))) AS BIGINT) AS total_tokens
+       CAST(sum(len(string_split_regex(lower(trim(text)), ' +'))) AS BIGINT) AS total_tokens,
+       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_bpe_tokens
 FROM good JOIN c ON doc_id = keep_id
 GROUP BY 1
 """
@@ -1006,7 +996,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_windows": q_session_windows,
     "obsreport_counts": q_obsreport_counts,
     "topk_conversations": q_topk_conversations,
-    "token_count_by_lang": q_token_count_by_lang,
     "metrics_temporality": q_metrics_temporality,
     "trace_summaries": q_trace_summaries,
     "tpch_q1": q_tpch_q1,
@@ -1035,7 +1024,6 @@ ORACLES: dict[str, str] = {
     "session_windows": _oracle_session_windows(),
     "obsreport_counts": _oracle_obsreport_counts(),
     "topk_conversations": _oracle_topk_conversations(),
-    "token_count_by_lang": _oracle_token_count_by_lang(),
     "metrics_temporality": _oracle_metrics_temporality(),
     "trace_summaries": _oracle_trace_summaries(),
     "tpch_q1": _oracle_tpch_q1(),

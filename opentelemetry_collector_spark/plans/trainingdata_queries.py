@@ -684,6 +684,167 @@ GROUP BY lang
 """
 
 
+def q_td_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics over per-conversation documents
+    (trainingdata.repetition): turn texts are template-normalized
+    (digit runs → '0', the drain-style log-template step), joined into
+    one '\\n'-separated document per conversation with stable turn
+    ordering, and scored for duplicate lines (= repeated turn
+    templates, the agent-loop signal) and repeated word n-grams. The
+    final row carries every metric rounded to 6 plus the Gopher
+    keep-flag computed from the UNROUNDED values — the oracle
+    reproduces the exact integer numerators/denominators, so the one
+    float division per metric is bit-identical."""
+    from ..trainingdata import gopher_repetition_filter, repetition_metrics
+    from ..trainingdata.repetition import METRIC_FIELDS
+    from .shared_sql import _derive_transcripts
+
+    t = _derive_transcripts(spark, sf_dir)
+    line = F.regexp_replace(F.col("text"), "[0-9]+", "0")
+    conv = (
+        t.select(
+            "conv_id", F.struct("turn_idx", line.alias("line")).alias("s")
+        )
+        .groupBy("conv_id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda x: x["line"]
+                ),
+            ).alias("text")
+        )
+    )
+    scored = conv.select(
+        "conv_id", repetition_metrics(F.col("text")).alias("m")
+    )
+    m = F.col("m")
+    return scored.select(
+        "conv_id",
+        m["n_lines"].alias("n_lines"),
+        *[F.round(m[f], 6).alias(f) for f in METRIC_FIELDS[1:]],
+        gopher_repetition_filter(m).alias("kept"),
+    )
+
+
+def _oracle_td_repetition() -> str:
+    from ..trainingdata.repetition import (
+        DUP_NGRAM_NS,
+        GOPHER_THRESHOLDS,
+        TOP_NGRAM_NS,
+    )
+    from .shared_sql import _TRANSCRIPTS_FROM_EVENTS
+
+    line_strip = "' ' || chr(9) || chr(13)"
+    para_strip = "' ' || chr(9) || chr(13) || chr(10)"
+    ctes = [
+        f"t AS ({_TRANSCRIPTS_FROM_EVENTS})",
+        """conv AS (
+  SELECT conv_id,
+         string_agg(regexp_replace(text, '[0-9]+', '0', 'g'),
+                    chr(10) ORDER BY turn_idx) AS text
+  FROM t GROUP BY conv_id
+)""",
+    ]
+    for unit, splitter, strip in (
+        ("lin", "chr(10)", line_strip),
+        ("par", "chr(10) || chr(10)", para_strip),
+    ):
+        ctes.append(
+            f"""{unit} AS (
+  SELECT conv_id, l, count(*) AS c
+  FROM conv, UNNEST(list_filter(list_transform(
+        string_split(text, {splitter}),
+        x -> trim(x, {strip})), x -> x <> '')) AS u(l)
+  GROUP BY 1, 2
+)"""
+        )
+        # raw (unrounded) fractions: exact-int numerators over exact-int
+        # denominators, one division — rounding happens only in the
+        # final projection so the keep-flag sees the same raw values
+        ctes.append(
+            f"""{unit}s AS (
+  SELECT conv_id,
+         CAST(sum(c) AS INT) AS n_units,
+         CAST(sum(c) - count(*) AS DOUBLE) / sum(c) AS dup_frac,
+         CASE WHEN sum(c * length(l)) > 0
+              THEN CAST(sum(CASE WHEN c > 1 THEN (c - 1) * length(l)
+                                 ELSE 0 END) AS DOUBLE)
+                   / sum(c * length(l))
+              ELSE 0.0 END AS dup_char_frac
+  FROM {unit} GROUP BY 1
+)"""
+        )
+    ctes.append(
+        """tks AS (
+  SELECT conv_id, tk, length(array_to_string(tk, ' ')) AS total
+  FROM (SELECT conv_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+        FROM conv)
+)"""
+    )
+    for n in TOP_NGRAM_NS + DUP_NGRAM_NS:
+        agg = (
+            "max(c * length(g))"
+            if n in TOP_NGRAM_NS
+            else "sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END)"
+        )
+        ctes.append(
+            f"""c{n} AS (
+  SELECT conv_id, any_value(total) AS total, g, count(*) AS c
+  FROM (SELECT conv_id, total,
+               array_to_string(list_slice(tk, i.i, i.i + {n - 1}), ' ') AS g
+        FROM tks,
+             UNNEST(generate_series(1, greatest(len(tk) - {n - 1}, 0))) AS i(i))
+  GROUP BY conv_id, g
+)"""
+        )
+        ctes.append(
+            f"""m{n} AS (
+  SELECT conv_id,
+         CASE WHEN any_value(total) > 0
+              THEN CAST({agg} AS DOUBLE) / any_value(total)
+              ELSE 0.0 END AS frac
+  FROM c{n} GROUP BY 1
+)"""
+        )
+
+    raw = {
+        "dup_line_frac": "coalesce(lins.dup_frac, 0.0)",
+        "dup_line_char_frac": "coalesce(lins.dup_char_frac, 0.0)",
+        "dup_para_frac": "coalesce(pars.dup_frac, 0.0)",
+        "dup_para_char_frac": "coalesce(pars.dup_char_frac, 0.0)",
+        **{
+            f"top_{n}gram_char_frac": f"coalesce(m{n}.frac, 0.0)"
+            for n in TOP_NGRAM_NS
+        },
+        **{
+            f"dup_{n}gram_char_frac": f"coalesce(m{n}.frac, 0.0)"
+            for n in DUP_NGRAM_NS
+        },
+    }
+    kept = " AND ".join(
+        f"{raw[name]} <= {limit}" for name, limit in GOPHER_THRESHOLDS.items()
+    )
+    cols = ",\n       ".join(
+        f"round({expr}, 6) AS {name}" for name, expr in raw.items()
+    )
+    joins = "".join(
+        f" LEFT JOIN m{n} USING (conv_id)" for n in TOP_NGRAM_NS + DUP_NGRAM_NS
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT conv.conv_id,
+       coalesce(lins.n_units, 0) AS n_lines,
+       {cols},
+       ({kept}) AS kept
+FROM conv LEFT JOIN lins USING (conv_id) LEFT JOIN pars USING (conv_id){joins}
+"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry fragments (merged by entry_queries)
 # ---------------------------------------------------------------------------
@@ -704,6 +865,7 @@ TD_QUERIES = {
     "td_split_assign": q_td_split_assign,
     "td_dup_components": q_td_dup_components,
     "td_stratified_sample": q_td_stratified_sample,
+    "td_repetition": q_td_repetition,
 }
 
 TD_ORACLES = {
@@ -722,4 +884,5 @@ TD_ORACLES = {
     "td_split_assign": _oracle_td_split_assign(),
     "td_dup_components": _oracle_td_dup_components(),
     "td_stratified_sample": _oracle_td_stratified_sample(),
+    "td_repetition": _oracle_td_repetition(),
 }

@@ -26,6 +26,12 @@ from .text import (
     stratified_sample,
 )
 from .components import connected_components, near_dup_survivors
+from .repetition import (
+    GOPHER_THRESHOLDS,
+    repetition_metrics,
+    repetition_metrics_py,
+    gopher_repetition_filter,
+)
 from .dedup import (
     exact_dedup_clusters,
     minhash_signature,

@@ -203,6 +203,19 @@ class TestPlanQuality:
         # "*(n)"; the literal word only appears in formatted explain)
         assert "*(1) Filter" in plan, plan
 
+    def test_repetition_query_one_shuffle_one_arrow_pass(self, spark):
+        """td_repetition must cost exactly the conversation-assembly
+        shuffle plus ONE Arrow UDF pass — the metrics themselves add
+        no exchange (they are a pure function of the assembled doc)."""
+        from opentelemetry_collector_spark.plans.trainingdata_queries import (
+            q_td_repetition,
+        )
+
+        df = q_td_repetition(spark, "/root/testdata/sf0.001")
+        plan = plan_of(df)
+        assert plan.count("Exchange") <= 2, plan  # groupBy (+AQE read)
+        assert plan.count("ArrowEvalPython") == 1, plan
+
     def test_topk_uses_take_ordered(self, spark, parquet_transcripts):
         q = (
             parquet_transcripts.groupBy("conv_id")
