@@ -374,15 +374,6 @@ LIMIT 10
 # language-ID + quality
 # ---------------------------------------------------------------------------
 
-def q_td_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _register(spark, sf_dir, "documents")
-    return spark.table("documents").select(
-        "doc_id",
-        lang_id(F.col("text")).alias("pred_lang"),
-        quality_score(F.col("text")).alias("quality"),
-    )
-
-
 def _oracle_td_lang_quality() -> str:
     score_exprs = {
         lang: (
@@ -420,16 +411,29 @@ def _oracle_td_lang_quality() -> str:
 # fingerprint
 # ---------------------------------------------------------------------------
 
-def q_td_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_td_doc_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All per-document scalar text signals in ONE scan: predicted
+    language, quality score, and the rolling-hash fingerprint. This
+    row consolidates the former td_lang_quality and td_fingerprint
+    queries (same table, same projection shape) to hold the driver's
+    50-row correctness budget — both operators stay driver-verified
+    here, value-exact."""
     _register(spark, sf_dir, "documents")
     return spark.table("documents").select(
-        "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
+        "doc_id",
+        lang_id(F.col("text")).alias("pred_lang"),
+        quality_score(F.col("text")).alias("quality"),
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
     )
 
 
-def _oracle_td_fingerprint() -> str:
+def _oracle_td_doc_signals() -> str:
+    lq = _oracle_td_lang_quality().strip()
     norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
-    return f"SELECT doc_id, {_sql_rolling(norm)} AS fingerprint FROM documents"
+    # graft the fingerprint column onto the lang+quality projection
+    assert lq.upper().startswith("SELECT ")
+    head, from_tail = lq.rsplit(" FROM ", 1)
+    return f"{head}, {_sql_rolling(norm)} AS fingerprint FROM {from_tail}"
 
 
 # ---------------------------------------------------------------------------
@@ -684,6 +688,84 @@ GROUP BY lang
 """
 
 
+# one source of truth for the PII test corpus: a deterministic text
+# per event carrying an email, an IP, and (on modular schedules) a
+# phone / SSN candidate plus digit decoys — the SAME SQL string runs
+# through Spark's F.expr and the DuckDB oracle (both support ||, CAST
+# AS STRING, lpad, CASE, %), so the corpus is identical by
+# construction and the oracle isolates the detection/redaction ops.
+_PII_DOC_SQL = """
+'user ' || CAST(user_id AS STRING)
+ || ' <u' || CAST(user_id AS STRING) || '@example.com> from 10.'
+ || CAST(user_id % 256 AS STRING) || '.' || CAST(event_id % 256 AS STRING) || '.7'
+ || CASE WHEN event_id % 3 = 0
+         THEN ' call 555-' || lpad(CAST(user_id % 1000 AS STRING), 3, '0')
+              || '-' || lpad(CAST(event_id % 10000 AS STRING), 4, '0')
+         ELSE '' END
+ || CASE WHEN event_id % 5 = 0
+         THEN ' ssn 123-45-' || lpad(CAST(event_id % 10000 AS STRING), 4, '0')
+         ELSE '' END
+ || ' code ' || CAST(event_id AS STRING)
+""".strip()
+
+
+def q_td_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (trainingdata.pii) over a deterministic synthetic
+    corpus built from the events table (`_PII_DOC_SQL`, shared
+    verbatim with the oracle): per-event-type hit counts per kind,
+    plus the corpus-wide invariant that redaction leaves ZERO residual
+    hits of any kind (the '<KIND>' tokens cannot re-trigger a
+    pattern). All detection/redaction is codegen'd regex — no UDF —
+    so the only exchange is the final small aggregation."""
+    from ..trainingdata import pii_counts, redact_pii, total_pii_count
+
+    _register(spark, sf_dir, "events")
+    d = spark.table("events").select(
+        "event_type", F.expr(_PII_DOC_SQL).alias("text")
+    )
+    counts = pii_counts(F.col("text"))
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[F.sum(counts[k]).alias(f"n_{k}") for k in counts],
+        F.sum(total_pii_count(redact_pii(F.col("text")))).alias(
+            "residual_hits"
+        ),
+        F.sum(F.length(redact_pii(F.col("text")))).alias("redacted_chars"),
+    )
+
+
+def _oracle_td_pii() -> str:
+    from ..trainingdata.pii import PII_PATTERNS
+
+    def dd(pat: str) -> str:
+        return pat.replace("'", "''")
+
+    red = "text"
+    for kind, pat in PII_PATTERNS.items():  # same canonical order
+        red = f"regexp_replace({red}, '{dd(pat)}', '<{kind.upper()}>', 'g')"
+    hit_cols = ",\n       ".join(
+        f"CAST(sum(len(regexp_extract_all(text, '{dd(pat)}'))) AS BIGINT) AS n_{kind}"
+        for kind, pat in PII_PATTERNS.items()
+    )
+    residual = " + ".join(
+        f"len(regexp_extract_all(red, '{dd(pat)}'))"
+        for pat in PII_PATTERNS.values()
+    )
+    return f"""
+WITH d AS (
+  SELECT event_type, {_PII_DOC_SQL} AS text FROM events
+), r AS (
+  SELECT event_type, text, {red} AS red FROM d
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_docs,
+       {hit_cols},
+       CAST(sum({residual}) AS BIGINT) AS residual_hits,
+       CAST(sum(length(red)) AS BIGINT) AS redacted_chars
+FROM r
+GROUP BY 1
+"""
+
+
 def q_td_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition metrics over per-conversation documents
     (trainingdata.repetition): turn texts are template-normalized
@@ -858,8 +940,8 @@ TD_QUERIES = {
     "td_embed_near_dup": q_td_embed_near_dup,
     "td_cosine_topk": q_td_cosine_topk,
     "td_ann_topk": q_td_ann_topk,
-    "td_lang_quality": q_td_lang_quality,
-    "td_fingerprint": q_td_fingerprint,
+    "td_doc_signals": q_td_doc_signals,
+    "td_pii": q_td_pii,
     "td_media_features": q_td_media_features,
     "td_media_decode": q_td_media_decode,
     "td_split_assign": q_td_split_assign,
@@ -877,8 +959,8 @@ TD_ORACLES = {
     "td_embed_near_dup": _oracle_td_embed_near_dup(),
     "td_cosine_topk": _oracle_td_cosine_topk(),
     "td_ann_topk": _oracle_td_ann_topk(),
-    "td_lang_quality": _oracle_td_lang_quality(),
-    "td_fingerprint": _oracle_td_fingerprint(),
+    "td_doc_signals": _oracle_td_doc_signals(),
+    "td_pii": _oracle_td_pii(),
     "td_media_features": _oracle_td_media_features(),
     "td_media_decode": _oracle_td_media_decode(),
     "td_split_assign": _oracle_td_split_assign(),
