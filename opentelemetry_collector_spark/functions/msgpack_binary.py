@@ -36,7 +36,14 @@ class EventTime(Ext):
     """Fluentd EventTime (ext type 0): seconds + nanoseconds."""
 
     def __init__(self, seconds: int, nanoseconds: int):
-        super().__init__(0, struct.pack(">II", seconds & 0xFFFFFFFF, nanoseconds))
+        # loud range check, no silent & 0xFFFFFFFF wrap: a pre-1970 or
+        # post-2106 timestamp would otherwise decode to a wildly wrong
+        # but plausible time
+        if not (0 <= seconds <= 0xFFFFFFFF and 0 <= nanoseconds <= 0xFFFFFFFF):
+            raise ValueError(
+                f"EventTime out of u32 range: {seconds}s {nanoseconds}ns"
+            )
+        super().__init__(0, struct.pack(">II", seconds, nanoseconds))
 
     @property
     def seconds(self) -> int:
@@ -157,7 +164,14 @@ class Unpacker:
         raise ValueError(f"unsupported msgpack type byte 0x{b:02x}")
 
     def _str(self, n: int) -> str:
-        return self._take(n).decode("utf-8", "replace")
+        # strict, matching the module's malformed-input stance: Go can
+        # carry invalid UTF-8 inside a string, Python str cannot, and
+        # lossy 'replace' would return plausible garbage downstream
+        raw = self._take(n)
+        try:
+            return raw.decode("utf-8")
+        except UnicodeDecodeError as e:
+            raise ValueError(f"invalid UTF-8 in msgpack str: {e}") from None
 
     def _array(self, n: int) -> list:
         return [self.unpack() for _ in range(n)]
@@ -172,6 +186,27 @@ class Unpacker:
     def _ext(self, n: int) -> Ext:
         code = self._u(">b", 1)
         return _as_event_time(Ext(code, self._take(n)))
+
+    def raw_bin_or_str(self) -> bytes:
+        """Raw payload bytes of the next bin- OR str-framed value.
+        PackedForward chunks arrive in either framing and their payload
+        is concatenated msgpack entries, NOT text (conversion.go:366) —
+        a str-framed chunk must never round-trip through UTF-8 (lossy
+        decode would corrupt the entry bytes irreversibly)."""
+        self._need(1)
+        b = self.buf[self.pos]
+        self.pos += 1
+        if 0xA0 <= b <= 0xBF:
+            n = b & 0x1F
+        elif b in (0xC4, 0xD9):
+            n = self._u(">B", 1)
+        elif b in (0xC5, 0xDA):
+            n = self._u(">H", 2)
+        elif b in (0xC6, 0xDB):
+            n = self._u(">I", 4)
+        else:
+            raise ValueError(f"not a bin/str header: 0x{b:02x}")
+        return self._take(n)
 
     def array_header(self) -> int:
         """Read only an array header (Forward events are top-level

@@ -866,11 +866,6 @@ def _oracle_td_repetition() -> str:
 )"""
     )
     for n in TOP_NGRAM_NS + DUP_NGRAM_NS:
-        agg = (
-            "max(c * length(g))"
-            if n in TOP_NGRAM_NS
-            else "sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END)"
-        )
         ctes.append(
             f"""c{n} AS (
   SELECT conv_id, any_value(total) AS total, g, count(*) AS c
@@ -881,15 +876,29 @@ def _oracle_td_repetition() -> str:
   GROUP BY conv_id, g
 )"""
         )
-        ctes.append(
-            f"""m{n} AS (
+        if n in TOP_NGRAM_NS:
+            # the MOST FREQUENT gram's coverage; count ties break to
+            # the longest gram — same rule as repetition_metrics_py
+            ctes.append(
+                f"""m{n} AS (
+  SELECT conv_id, CAST(c * length(g) AS DOUBLE) / total AS frac
+  FROM c{n}
+  WHERE total > 0
+  QUALIFY row_number() OVER (
+    PARTITION BY conv_id ORDER BY c DESC, length(g) DESC) = 1
+)"""
+            )
+        else:
+            ctes.append(
+                f"""m{n} AS (
   SELECT conv_id,
          CASE WHEN any_value(total) > 0
-              THEN CAST({agg} AS DOUBLE) / any_value(total)
+              THEN CAST(sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END)
+                        AS DOUBLE) / any_value(total)
               ELSE 0.0 END AS frac
   FROM c{n} GROUP BY 1
 )"""
-        )
+            )
 
     raw = {
         "dup_line_frac": "coalesce(lins.dup_frac, 0.0)",

@@ -50,14 +50,27 @@ TAG_ATTRIBUTE_KEY = "fluent.tag"
 # ---------------------------------------------------------------------------
 
 
+def _json_default(o):
+    """Nested values json can't encode natively: bytes decode like the
+    top-level bytes branch; anything else (e.g. a stray Ext) renders
+    via str — never a TypeError that would kill the whole blob."""
+    if isinstance(o, (bytes, bytearray)):
+        return bytes(o).decode("utf-8", "replace")
+    return str(o)
+
+
 def _attr_value(val):
     """insertToAttributeMap's type mapping (conversion.go:84-109),
     with every value carried as its Python type; bytes → str,
-    map/list → JSON."""
+    map/list → JSON (ensure_ascii=False: Go's json.Marshal does not
+    \\uXXXX-escape non-ASCII)."""
     if isinstance(val, (bytes, bytearray)):
         return bytes(val).decode("utf-8", "replace")
     if isinstance(val, (dict, list)):
-        return json.dumps(val, separators=(", ", ": "))
+        return json.dumps(
+            val, separators=(", ", ": "), ensure_ascii=False,
+            default=_json_default,
+        )
     if isinstance(val, (bool, int, float, str)):
         return val
     return str(val)
@@ -152,9 +165,10 @@ def decode_event(u: Unpacker) -> list[dict]:
         # gzipped is only known after the options map (conversion.go:355)
         if n > 3:
             raise ValueError("packedforward-mode event array length 4 invalid")
-        raw = u.unpack()
-        if isinstance(raw, str):
-            raw = raw.encode("latin-1")
+        # read the chunk RAW whether bin- or str-framed: the payload is
+        # msgpack entry bytes, and a str-framed chunk (conversion.go:366)
+        # must not round-trip through UTF-8 (lossy decode is irreversible)
+        raw = u.raw_bin_or_str()
         options = u.unpack() if n == 3 else {}
         if not isinstance(options, dict):
             raise ValueError("forward event options must be a map")

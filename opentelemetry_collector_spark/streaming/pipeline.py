@@ -81,23 +81,41 @@ def streaming_windowed_counts(
     )
 
 
+def _local_path(checkpoint_dir: str) -> str | None:
+    """The local-filesystem path of a checkpoint location, or None if
+    it lives on a remote FS (hdfs://, s3a://, ...). Spark accepts both
+    plain paths and file: URIs for local checkpoints."""
+    from urllib.parse import urlparse
+
+    parsed = urlparse(checkpoint_dir)
+    if parsed.scheme in ("", "file"):
+        return parsed.path if parsed.scheme == "file" else checkpoint_dir
+    return None
+
+
 def stream_identity(checkpoint_dir: str) -> str:
     """Stable stream namespace from the checkpoint dir: Spark resumes
     epoch numbering from the checkpoint, so (checkpoint, epoch) is
     globally unique while staying stable across failure replays of the
-    same epoch. The path is normalized (realpath) first — the SAME
-    checkpoint reached via a relative vs absolute (or symlinked)
-    spelling must hash to the SAME namespace, or a resumed stream
-    would re-commit epochs its previous incarnation already wrote."""
+    same epoch. Local paths are normalized (realpath) first — the SAME
+    checkpoint reached via a relative vs absolute (or symlinked, or
+    ``file:``-URI) spelling must hash to the SAME namespace, or a
+    resumed stream would re-commit epochs its previous incarnation
+    already wrote. Remote URIs are hashed as spelled (sans trailing
+    slash): realpath on 'hdfs://nn/ckpt' would prepend the driver's
+    CWD, silently changing the identity across restarts."""
     import hashlib
     import os
 
-    return hashlib.sha256(
-        os.path.realpath(checkpoint_dir).encode()
-    ).hexdigest()[:12]
+    local = _local_path(checkpoint_dir)
+    key = (
+        os.path.realpath(local) if local is not None
+        else checkpoint_dir.rstrip("/")
+    )
+    return hashlib.sha256(key.encode()).hexdigest()[:12]
 
 
-def _legacy_epoch_mode(checkpoint_dir: str, stream_id: str) -> bool:
+def _legacy_epoch_mode(checkpoint_dir: str, stream_id: str, spark=None) -> bool:
     """One-time migration marker: pre-namespacing builds committed sink
     epochs under run_id ``epoch-N``. Only a checkpoint that ALREADY has
     Spark offsets but NO marker can be resuming such a build — it gets
@@ -105,24 +123,72 @@ def _legacy_epoch_mode(checkpoint_dir: str, stream_id: str) -> bool:
     records ``legacy=False`` immediately, so a brand-new stream can
     never skip its own commits just because some OTHER pre-namespacing
     stream left an ``epoch-N`` snapshot in the shared warehouse (that
-    unscoped skip was silent data loss)."""
+    unscoped skip was silent data loss).
+
+    Local checkpoints use plain file I/O; remote checkpoint URIs
+    (hdfs://, s3a://, ...) go through Hadoop's FileSystem API via the
+    session's JVM — probing a remote URI with os.path would always
+    report 'no offsets' and mis-record every resuming legacy stream as
+    namespaced (re-introducing the double commit this marker exists to
+    prevent)."""
     import json
     import os
 
-    marker = os.path.join(checkpoint_dir, "_namespace_marker.json")
+    local = _local_path(checkpoint_dir)
+    if local is not None:
+        marker = os.path.join(local, "_namespace_marker.json")
+        try:
+            with open(marker, encoding="utf-8") as f:
+                return bool(json.load(f).get("legacy", False))
+        except FileNotFoundError:
+            pass
+        # no marker yet: offsets present ⇒ resuming a checkpoint written
+        # before the marker existed ⇒ may predate namespacing
+        legacy = os.path.isdir(os.path.join(local, "offsets"))
+        os.makedirs(local, exist_ok=True)
+        tmp = marker + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"stream_id": stream_id, "legacy": legacy}, f)
+        os.replace(tmp, marker)
+        return legacy
+
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise ValueError(
+            f"remote checkpoint {checkpoint_dir!r} needs an active "
+            "SparkSession to probe the namespace marker"
+        )
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    root = HPath(checkpoint_dir)
+    fs = root.getFileSystem(conf)
+    marker = HPath(root, "_namespace_marker.json")
+    if fs.exists(marker):
+        stream = fs.open(marker)
+        try:
+            chunks = bytearray()
+            while True:
+                b = stream.read()
+                if b < 0:
+                    break
+                chunks.append(b)
+        finally:
+            stream.close()
+        return bool(json.loads(bytes(chunks)).get("legacy", False))
+    legacy = fs.isDirectory(HPath(root, "offsets"))
+    tmp = HPath(root, "_namespace_marker.json.tmp")
+    out = fs.create(tmp, True)
     try:
-        with open(marker, encoding="utf-8") as f:
-            return bool(json.load(f).get("legacy", False))
-    except FileNotFoundError:
-        pass
-    # no marker yet: offsets present ⇒ resuming a checkpoint written
-    # before the marker existed ⇒ may predate namespacing
-    legacy = os.path.isdir(os.path.join(checkpoint_dir, "offsets"))
-    os.makedirs(checkpoint_dir, exist_ok=True)
-    tmp = marker + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump({"stream_id": stream_id, "legacy": legacy}, f)
-    os.replace(tmp, marker)
+        out.write(
+            json.dumps({"stream_id": stream_id, "legacy": legacy}).encode()
+        )
+    finally:
+        out.close()
+    fs.rename(tmp, marker)
     return legacy
 
 
@@ -150,7 +216,7 @@ def start_routed_stream(
 
     config = config or PipelineConfig()
     stream_id = stream_identity(checkpoint_dir)
-    legacy_mode = _legacy_epoch_mode(checkpoint_dir, stream_id)
+    legacy_mode = _legacy_epoch_mode(checkpoint_dir, stream_id, spark=spark)
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         s = batch_df.sparkSession

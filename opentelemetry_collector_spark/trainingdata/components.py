@@ -116,11 +116,64 @@ def connected_components(
     costs one tiny agg job per round — a star forest is a fixpoint of
     both stars, and Kiveris et al. prove convergence in O(log^2 n)
     rounds.
+
+    Non-numeric node ids (string doc ids, uuids) are supported via a
+    surrogate-id mapping: distinct raw ids get a session-local long id
+    (checkpointed so the assignment is frozen for the run), the star
+    algorithm runs on longs, and components are relabelled afterwards
+    as ``min(raw id)`` per component — so the public contract
+    (component = minimum node id, in the id's own ordering) holds for
+    strings exactly as for longs, and a silent ``cast('long')`` NULL
+    can never drop edges.
     """
+    from pyspark.sql import types as T
+
+    a_type = pairs.schema[id_a].dataType
+    b_type = pairs.schema[id_b].dataType
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    if isinstance(a_type, integral) and isinstance(b_type, integral):
+        edges = _canonical(
+            pairs.select(F.col(id_a).cast("long").alias("u"),
+                         F.col(id_b).cast("long").alias("v"))
+        )
+        return _star_forest(edges, max_iter)
+
+    # surrogate mapping for non-integral ids; monotonically_increasing_id
+    # is only stable within one materialization, so the mapping MUST be
+    # checkpointed before reuse across the two edge-side joins
+    raw_a = pairs.select(F.col(id_a).cast("string").alias("raw"))
+    raw_b = pairs.select(F.col(id_b).cast("string").alias("raw"))
+    mapping = (
+        raw_a.union(raw_b)
+        .dropDuplicates(["raw"])
+        .withColumn("nid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+    )
     edges = _canonical(
-        pairs.select(F.col(id_a).cast("long").alias("u"),
-                     F.col(id_b).cast("long").alias("v"))
-    ).localCheckpoint(eager=True)
+        pairs.select(F.col(id_a).cast("string").alias("ra"),
+                     F.col(id_b).cast("string").alias("rb"))
+        .join(mapping.select(F.col("raw").alias("ra"), F.col("nid").alias("u")), "ra")
+        .join(mapping.select(F.col("raw").alias("rb"), F.col("nid").alias("v")), "rb")
+        .select("u", "v")
+    )
+    comps = _star_forest(edges, max_iter)
+    labelled = comps.join(
+        mapping.select(F.col("nid").alias("node"), F.col("raw").alias("node_raw")),
+        "node",
+    )
+    comp_min = labelled.groupBy("component").agg(
+        F.min("node_raw").alias("component_raw")
+    )
+    return labelled.join(comp_min, "component").select(
+        F.col("node_raw").alias("node"),
+        F.col("component_raw").alias("component"),
+    )
+
+
+def _star_forest(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Run the alternating rounds on canonical (long u, long v) edges
+    and read the final star forest as (node, component=min-id)."""
+    edges = edges.localCheckpoint(eager=True)
     fp = _fingerprint(edges)
     if fp[0] == 0:
         return edges.select(

@@ -231,6 +231,11 @@ def decode_png(blob: bytes) -> np.ndarray:
     pos, idat, dims = 8, bytearray(), None
     while pos + 8 <= len(blob):
         n = struct.unpack_from(">I", blob, pos)[0]
+        if pos + 12 + n > len(blob):
+            # declared chunk length overruns the blob — same ValueError
+            # family as every other malformed-input path here, not a
+            # struct.error leaking from the trailer read
+            raise ValueError("PNG chunk exceeds payload")
         ctype = blob[pos + 4 : pos + 8]
         data = blob[pos + 8 : pos + 8 + n]
         crc = struct.unpack_from(">I", blob, pos + 8 + n)[0]

@@ -41,7 +41,14 @@ __all__ = ["PII_PATTERNS", "pii_counts", "total_pii_count", "redact_pii"]
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
-    "phone": r"\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\b",
+    # the leading \b is load-bearing for the zero-residual invariant:
+    # without it the phone pass can consume a SUFFIX of a longer digit
+    # run ('1.2.3.45555-123-4567' → '1.2.3.45<PHONE>'), exposing a
+    # fresh ipv4 match after the ipv4 pass already ran. Anchored, no
+    # pass can split a digit run, so later passes never see new
+    # boundaries. A '+' after a word char keeps its '+' unredacted
+    # (the digits still go).
+    "phone": r"\b\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\b",
     "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
 }
 

@@ -152,7 +152,12 @@ def repetition_metrics_py(text: str | None) -> dict[str, float]:
             " ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)
         )
         if n in TOP_NGRAM_NS:
-            covered = max(c * len(g) for g, c in grams.items())
+            # Gopher: characters covered by the MOST FREQUENT n-gram
+            # (not the max count*len product — a rarer-but-longer gram
+            # must not win). Count ties break to the longest gram,
+            # which makes the coverage value itself deterministic.
+            mx = max(grams.values())
+            covered = mx * max(len(g) for g, c in grams.items() if c == mx)
         else:
             covered = sum(c * len(g) for g, c in grams.items() if c > 1)
         out[key] = covered / total_chars

@@ -92,6 +92,49 @@ class TestMsgpackCodec:
             assert Unpacker(blob).peek_type() == want, want
 
 
+class TestCodecStrictness:
+    def test_event_time_rejects_out_of_range(self):
+        from opentelemetry_collector_spark.functions.msgpack_binary import (
+            EventTime,
+        )
+
+        with pytest.raises(ValueError):
+            EventTime(-1, 0)  # pre-1970
+        with pytest.raises(ValueError):
+            EventTime(1 << 32, 0)  # post-2106
+        with pytest.raises(ValueError):
+            EventTime(0, 1 << 32)
+        assert EventTime(0xFFFFFFFF, 999_999_999).seconds == 0xFFFFFFFF
+
+    def test_str_rejects_invalid_utf8(self):
+        from opentelemetry_collector_spark.functions.msgpack_binary import (
+            Unpacker,
+        )
+
+        # fixstr of length 1 whose payload byte is invalid UTF-8
+        with pytest.raises(ValueError, match="invalid UTF-8"):
+            Unpacker(bytes([0xA1, 0x92])).unpack()
+
+    def test_raw_bin_or_str_keeps_bytes(self):
+        from opentelemetry_collector_spark.functions.msgpack_binary import (
+            Unpacker,
+        )
+
+        payload = bytes([0x92, 0x01, 0xA1, 0x6D])
+        for header in (bytes([0xC4, 4]), bytes([0xA0 | 4]), bytes([0xD9, 4])):
+            u = Unpacker(header + payload)
+            assert u.raw_bin_or_str() == payload
+        with pytest.raises(ValueError, match="not a bin/str"):
+            Unpacker(bytes([0x01])).raw_bin_or_str()
+
+    def test_nested_bytes_in_attr_map_encodes(self):
+        blob = packb_event(
+            ["t", 1, {"message": "m", "meta": {"sig": b"ab", "n": [1, b"c"]}}]
+        )
+        (rec,) = decode_forward_stream(blob)
+        assert rec["attrs"]["meta"] == '{"sig": "ab", "n": [1, "c"]}'
+
+
 ENTRIES = [
     (1_700_000_000_123_456_000, {"message": "hello [info]", "conv_id": "c1",
                                  "turn_idx": 0, "role": "user"}),
@@ -150,15 +193,24 @@ class TestForwardModes:
         assert rec["body"] == "m"
 
     def test_packed_forward_str_entries(self):
-        # entries may arrive as msgpack str instead of bin (conversion.go:366)
+        # entries may arrive as msgpack str instead of bin
+        # (conversion.go:366). A real client frames the RAW entry
+        # bytes under the str header — they are msgpack, not UTF-8
+        # (the leading 0x92 fixarray byte alone is invalid UTF-8), so
+        # the decoder must take the payload without text decoding.
         inner = Packer()
         inner.pack([1, {"message": "m"}])
         raw = bytes(inner.out)
+        assert raw[0] == 0x92  # genuinely not valid UTF-8 text
         p = Packer()
         p.array_header(2)
         p.pack("t")
-        p._str(raw.decode("latin-1"))
-        (rec,) = decode_forward_stream(bytes(p.out))
+        if len(raw) <= 31:
+            header = bytes([0xA0 | len(raw)])  # fixstr over raw bytes
+        else:
+            header = bytes([0xD9, len(raw)])
+        blob = bytes(p.out) + header + raw
+        (rec,) = decode_forward_stream(blob)
         assert rec["body"] == "m"
 
     def test_gzip_flag_respected_only_when_set(self):

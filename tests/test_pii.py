@@ -26,6 +26,10 @@ SAMPLES = [
     "no pii here at all",
     "",
     "adjacent:1.2.3.4a@b.co 123-45-678912",
+    # regression: an unanchored phone pattern once consumed the SUFFIX
+    # of this digit run, exposing a fresh ipv4 ('1.2.3.45<PHONE>')
+    "1.2.3.45555-123-4567",
+    "x+123-456-7890 and +1 555-123-4567",
 ]
 
 

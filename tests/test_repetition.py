@@ -71,6 +71,19 @@ class TestPyReference:
         m = repetition_metrics_py(text)
         assert m["top_2gram_char_frac"] == pytest.approx(3 * 3 / len(text))
 
+    def test_top_ngram_is_most_frequent_not_max_coverage(self):
+        # the most repeated bigram is 'a a' (count 3); the count-2
+        # long bigram must NOT win on raw coverage product
+        text = "a a a a longtokenone longtokentwo longtokenone longtokentwo"
+        m = repetition_metrics_py(text)
+        assert m["top_2gram_char_frac"] == pytest.approx(3 * 3 / len(text))
+
+    def test_top_ngram_count_tie_breaks_to_longest(self):
+        # 'bb bb' and 'a a' both occur twice; the longer gram decides
+        text = "a a x a a y bb bb z bb bb"
+        m = repetition_metrics_py(text)
+        assert m["top_2gram_char_frac"] == pytest.approx(2 * 5 / len(text))
+
     def test_dup_ngram_counts_all_occurrences(self):
         # the 5-gram "a b c d e" occurs twice (disjoint), each len 9;
         # dup metric counts BOTH occurrences (Gopher), total len(text)

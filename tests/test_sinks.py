@@ -223,3 +223,34 @@ class TestConcurrentWrites:
         a = spark.read.parquet(seq["archive"].path).select(key)
         b = spark.read.parquet(con["archive"].path).select(key)
         assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+
+    def test_concurrent_spark_action_failure_isolated(
+        self, spark, tmp_path
+    ):
+        """A REAL failing Spark job (runtime raise inside one sink's
+        computation) must not poison a concurrently-submitted healthy
+        write: the good sink's parquet commits completely, and the
+        failure surfaces after the drain."""
+        from opentelemetry_collector_spark.plans.pipeline import (
+            materialize_concurrent,
+        )
+
+        good_path = str(tmp_path / "good")
+        df = spark.range(100).withColumnRenamed("id", "v")
+        bad = df.select(
+            F.when(F.col("v") < 50, F.col("v")).otherwise(
+                F.raise_error(F.lit("poisoned partition"))
+            ).alias("v")
+        )
+        with pytest.raises(Exception, match="poisoned partition"):
+            materialize_concurrent(
+                {
+                    "bad": lambda: bad.write.mode("overwrite").parquet(
+                        str(tmp_path / "bad")
+                    ),
+                    "good": lambda: df.write.mode("overwrite").parquet(
+                        good_path
+                    ),
+                }
+            )
+        assert spark.read.parquet(good_path).count() == 100

@@ -219,6 +219,54 @@ class TestStreamIdentity:
         (ckpt / "offsets").mkdir(parents=True)
         assert _legacy_epoch_mode(str(ckpt), "abc") is False
 
+    def test_identity_treats_file_uri_and_remote_uris_sanely(self, tmp_path):
+        from opentelemetry_collector_spark.streaming.pipeline import (
+            stream_identity,
+        )
+
+        d = tmp_path / "ckpt_uri"
+        d.mkdir()
+        # a file: URI is the same checkpoint as its plain spelling
+        assert stream_identity(f"file:{d}") == stream_identity(str(d))
+        # remote URIs: trailing-slash invariant, and NOT cwd-dependent
+        # (realpath would silently prepend the driver CWD)
+        a = stream_identity("hdfs://nn/ckpt")
+        assert a == stream_identity("hdfs://nn/ckpt/")
+        assert a != stream_identity("hdfs://nn/other")
+
+    def test_remote_checkpoint_probed_via_hadoop_fs(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Force the Hadoop FileSystem branch (what hdfs:// / s3a://
+        would take) against the local FS: offsets detection, marker
+        write, and marker re-read must behave exactly like the local
+        branch."""
+        import opentelemetry_collector_spark.streaming.pipeline as sp
+
+        monkeypatch.setattr(sp, "_local_path", lambda p: None)
+
+        fresh = tmp_path / "ckpt_remote_fresh"
+        uri = f"file:{fresh}"
+        assert sp._legacy_epoch_mode(uri, "abc", spark=spark) is False
+        assert (fresh / "_namespace_marker.json").exists()
+        # marker pins the mode even after offsets appear
+        (fresh / "offsets").mkdir()
+        assert sp._legacy_epoch_mode(uri, "abc", spark=spark) is False
+
+        legacy = tmp_path / "ckpt_remote_legacy"
+        (legacy / "offsets").mkdir(parents=True)
+        assert sp._legacy_epoch_mode(f"file:{legacy}", "abc", spark=spark) is True
+
+    def test_remote_checkpoint_without_session_raises(self, monkeypatch):
+        import opentelemetry_collector_spark.streaming.pipeline as sp
+        from pyspark.sql import SparkSession
+
+        monkeypatch.setattr(
+            SparkSession, "getActiveSession", staticmethod(lambda: None)
+        )
+        with pytest.raises(ValueError, match="active SparkSession"):
+            sp._legacy_epoch_mode("hdfs://nn/ckpt", "abc")
+
 
 class TestStreamingDedup:
     def test_duplicate_deliveries_dropped(self, spark, tiny_transcripts, tmp_path):

@@ -591,6 +591,14 @@ class TestRealCodecs:
         blob[40] ^= 0xFF  # corrupt a byte inside IDAT → CRC mismatch
         with pytest.raises(ValueError):
             decode_png(bytes(blob))
+        # truncation INSIDE a chunk (IDAT header readable, declared
+        # length overruns the blob) must raise ValueError too, not
+        # leak struct.error from the CRC read. Layout: 8 sig + 25 IHDR
+        # + IDAT header at 33; cut 2 bytes into IDAT's data.
+        whole = encode_png(g)
+        assert whole[37:41] == b"IDAT"
+        with pytest.raises(ValueError, match="exceeds payload"):
+            decode_png(whole[:43])
 
 
 class TestAssignSplit:
@@ -710,6 +718,41 @@ class TestConnectedComponents:
         # worst-case diameter for min-propagation; the star algorithm
         # must still converge in O(log^2 n) alternating rounds
         self._check(spark, [(i, i + 1) for i in range(60)])
+
+    def test_string_ids_supported_min_is_lexicographic(self, spark):
+        from opentelemetry_collector_spark.trainingdata import (
+            connected_components,
+        )
+
+        edges = [
+            ("doc-b", "doc-a"), ("doc-a", "doc-c"),  # comp min doc-a
+            ("x2", "x10"),                            # lexicographic: x10 < x2
+            ("solo-loop", "solo-loop"),
+        ]
+        df = spark.createDataFrame(edges, "id_a string, id_b string")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        assert got == {
+            "doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
+            "x2": "x10", "x10": "x10",
+        }
+
+    def test_string_id_survivors_drop_duplicates(self, spark):
+        from opentelemetry_collector_spark.trainingdata import (
+            near_dup_survivors,
+        )
+
+        docs = spark.createDataFrame(
+            [("d1", "x"), ("d2", "x"), ("d3", "y"), ("d4", "z")],
+            "doc_id string, text string",
+        )
+        pairs = spark.createDataFrame(
+            [("d1", "d2")], "id_a string, id_b string"
+        )
+        kept = {r["doc_id"] for r in near_dup_survivors(docs, pairs).collect()}
+        assert kept == {"d1", "d3", "d4"}
 
     def test_disjoint_cliques_and_duplicates(self, spark):
         edges = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (1, 2), (2, 1), (5, 5)]
