@@ -61,6 +61,7 @@ def main() -> None:
     # are comparable — or discountable — by rule, not argument.
     meter = SectionMeter()  # bench is unpinned → budget = all cores
     timings: dict[str, float] = {}
+    cpu_secs: dict[str, float] = {}
     contended: list[str] = []
     ext_max = 0.0
     for name in BENCH_QUERIES:
@@ -76,6 +77,15 @@ def main() -> None:
             contended.append(name)
         ext_max = max(ext_max, best["ext_frac"])
         timings[name] = round(best["sec"], 3)
+        # self CPU-seconds: the steal-robust work metric. Hypervisor-
+        # level interference (invisible to guest /proc — the campaign's
+        # CPU-invariant rule exists for the same reason) inflates WALL
+        # time while the work's CPU-seconds stay ~constant, so a
+        # round-over-round wall regression with matching CPU is
+        # environment, not code.
+        cpu_secs[name] = round(
+            best["self_util"] * best["sec"] * meter.cores, 2
+        )
 
     # production-hash MinHash (xxhash64 — the 100 TB path; the suite
     # keeps the oracle-parity rolling hash so bench == correctness
@@ -108,6 +118,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "query_cpu_secs": cpu_secs,
                 "sf": sf,
                 "cpus": CPUS,
                 "pipeline_turns": n_turns,

@@ -119,7 +119,7 @@ from collections import OrderedDict
 
 _SIG_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
 _SIG_CACHE_LOCK = threading.Lock()
-_SIG_CACHE_MAX = 4
+_SIG_CACHE_MAX = 8  # two entries (signatures + capped bands) per input
 
 
 def _plan_key(df: DataFrame):
@@ -323,6 +323,31 @@ def minhash_lsh_pairs(
         observation=cap_observation,
         observe_name="minhash_hot_bucket_cap",
     )
+    if cache_signatures and cap_observation is None:
+        # persist the capped (id, band) frame too: the self-join's two
+        # sides otherwise EACH pay the band-key window exchange (and
+        # evaluate the cap's CollectMetrics twice) — Spark does not
+        # reuse the exchange across the join sides. The frame is
+        # ~24 B/row × bands, the cheapest thing in the whole plan to
+        # hold; with it cached the window shuffle and the cap metric
+        # run exactly once at any scale. Skipped when the caller binds
+        # an explicit Observation (those are one-shot objects).
+        ekey = ("exploded", _plan_key(df), text_col, id_col, hash_fn,
+                hot_bucket_limit)
+        with _SIG_CACHE_LOCK:
+            cached = _SIG_CACHE.get(ekey)
+            if cached is not None:
+                _SIG_CACHE.move_to_end(ekey)
+                exploded = cached
+            else:
+                exploded = exploded.persist()
+                _SIG_CACHE[ekey] = exploded
+                while len(_SIG_CACHE) > _SIG_CACHE_MAX:
+                    _, evicted = _SIG_CACHE.popitem(last=False)
+                    try:
+                        evicted.unpersist(blocking=False)
+                    except Exception:
+                        pass
     left = exploded.select(F.col("id").alias("id_a"), "band_idx", "band_key")
     right = exploded.select(F.col("id").alias("id_b"), "band_idx", "band_key")
     pairs = (
