@@ -130,6 +130,28 @@ def _plan_key(df: DataFrame):
     except Exception:
         return id(df)
 
+
+def _keyed_persist(key: tuple, frame: DataFrame) -> DataFrame:
+    """Persist ``frame`` under ``key`` in the bounded FIFO cache (or
+    return the already-persisted frame for the same key). FIFO
+    eviction unpersists the oldest entry, so repeated invocations
+    never accumulate executor storage and concurrent pipelines never
+    evict each other's in-flight frames."""
+    with _SIG_CACHE_LOCK:
+        cached = _SIG_CACHE.get(key)
+        if cached is not None:
+            _SIG_CACHE.move_to_end(key)
+            return cached
+        frame = frame.persist()
+        _SIG_CACHE[key] = frame
+        while len(_SIG_CACHE) > _SIG_CACHE_MAX:
+            _, evicted = _SIG_CACHE.popitem(last=False)
+            try:
+                evicted.unpersist(blocking=False)
+            except Exception:
+                pass
+        return frame
+
 def shingles_col(col: Column, k: int = MINHASH_K) -> Column:
     """Distinct k-token shingles; documents shorter than k tokens fall
     back to one whole-text shingle so they still get a signature."""
@@ -302,21 +324,7 @@ def minhash_lsh_pairs(
         # DIFFERENT concurrent pipeline gets its own entry (never
         # evicting another's mid-flight), and the bound stops
         # repeated invocations from accumulating executor storage
-        key = (_plan_key(df), text_col, id_col, hash_fn)
-        with _SIG_CACHE_LOCK:
-            cached = _SIG_CACHE.get(key)
-            if cached is not None:
-                _SIG_CACHE.move_to_end(key)
-                sigs = cached
-            else:
-                sigs = sigs.persist()
-                _SIG_CACHE[key] = sigs
-                while len(_SIG_CACHE) > _SIG_CACHE_MAX:
-                    _, evicted = _SIG_CACHE.popitem(last=False)
-                    try:
-                        evicted.unpersist(blocking=False)
-                    except Exception:
-                        pass
+        sigs = _keyed_persist(("sigs", _plan_key(df), text_col, id_col, hash_fn), sigs)
     exploded = _cap_hot_buckets(
         sigs.select("id", F.posexplode("bands").alias("band_idx", "band_key")),
         hot_bucket_limit,
@@ -332,22 +340,11 @@ def minhash_lsh_pairs(
         # hold; with it cached the window shuffle and the cap metric
         # run exactly once at any scale. Skipped when the caller binds
         # an explicit Observation (those are one-shot objects).
-        ekey = ("exploded", _plan_key(df), text_col, id_col, hash_fn,
-                hot_bucket_limit)
-        with _SIG_CACHE_LOCK:
-            cached = _SIG_CACHE.get(ekey)
-            if cached is not None:
-                _SIG_CACHE.move_to_end(ekey)
-                exploded = cached
-            else:
-                exploded = exploded.persist()
-                _SIG_CACHE[ekey] = exploded
-                while len(_SIG_CACHE) > _SIG_CACHE_MAX:
-                    _, evicted = _SIG_CACHE.popitem(last=False)
-                    try:
-                        evicted.unpersist(blocking=False)
-                    except Exception:
-                        pass
+        exploded = _keyed_persist(
+            ("minhash-exploded", _plan_key(df), text_col, id_col, hash_fn,
+             hot_bucket_limit),
+            exploded,
+        )
     left = exploded.select(F.col("id").alias("id_a"), "band_idx", "band_key")
     right = exploded.select(F.col("id").alias("id_b"), "band_idx", "band_key")
     pairs = (
@@ -449,6 +446,16 @@ def simhash_lsh_pairs(
         observation=cap_observation,
         observe_name="simhash_hot_bucket_cap",
     )
+    if cap_observation is None:
+        # same treatment as minhash's capped-band cache: without it
+        # BOTH self-join sides recompute the (expensive) per-token
+        # simhash AND the cap's window exchange + CollectMetrics; the
+        # cached frame is (id, long, int, long) — trivial to hold
+        exploded = _keyed_persist(
+            ("simhash-exploded", _plan_key(df), text_col, id_col, hash_fn,
+             bits, bands, hot_bucket_limit),
+            exploded,
+        )
     left = exploded.select(
         F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band_idx", "band_key"
     )
