@@ -532,39 +532,73 @@ GROUP BY 1
 """
 
 
-def q_turn_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conversation session analysis with window functions: per-role
-    sum/count of inter-turn gaps (ts − lag(ts) within conv_id ordered
-    by turn_idx) — the stable-turn-ordering invariant exercised as an
-    analytic query. Integer sums keep both engines exact."""
+def q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation analytics matrix — two formerly separate rows
+    consolidated under the 50-row driver budget, both semantics kept
+    value-exact:
+
+    * ``turn_gaps``: per-role count/sum/max of inter-turn gaps
+      (ts − lag(ts) within conv_id ordered by turn_idx) — the
+      stable-turn-ordering invariant as an analytic query; integer
+      sums keep both engines exact;
+    * ``topk``: top-20 hottest conversations by turn count
+      (deterministic tie-break by conv_id) — TakeOrderedAndProject
+      inside the union branch, no full sort."""
     t = _derive_transcripts(spark, sf_dir)
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     gap = _epoch_s(F.col("ts")) - _epoch_s(F.lag("ts").over(w))
-    return (
+    gaps = (
         t.withColumn("gap_s", gap)
         .filter(F.col("gap_s").isNotNull())
         .groupBy("role")
         .agg(
-            F.count(F.lit(1)).alias("n_gaps"),
-            F.sum("gap_s").alias("sum_gap_s"),
-            F.max("gap_s").alias("max_gap_s"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("gap_s").alias("v1"),
+            F.max("gap_s").alias("v2"),
+        )
+        .select(
+            F.lit("turn_gaps").alias("metric"),
+            F.col("role").alias("key"),
+            "n", "v1", "v2",
         )
     )
+    topk = (
+        t.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.col("conv_id"))
+        .limit(20)
+        .select(
+            F.lit("topk").alias("metric"),
+            F.col("conv_id").alias("key"),
+            "n",
+            F.lit(0).cast("long").alias("v1"),
+            F.lit(0).cast("long").alias("v2"),
+        )
+    )
+    return gaps.union(topk)
 
 
-def _oracle_turn_gaps() -> str:
+def _oracle_conversation_stats() -> str:
     epoch = _DUCK_EPOCH.format(col="ts")
     epoch_lag = _DUCK_EPOCH.format(col="lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx)")
     return f"""
 WITH t AS ({_TRANSCRIPTS_FROM_EVENTS}),
 g AS (SELECT role, {epoch} - {epoch_lag} AS gap_s FROM t)
-SELECT role, CAST(count(*) AS BIGINT) AS n_gaps,
-       CAST(sum(gap_s) AS BIGINT) AS sum_gap_s,
-       CAST(max(gap_s) AS BIGINT) AS max_gap_s
+SELECT 'turn_gaps' AS metric, role AS key,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(gap_s) AS BIGINT) AS v1,
+       CAST(max(gap_s) AS BIGINT) AS v2
 FROM g WHERE gap_s IS NOT NULL
-GROUP BY 1
+GROUP BY 2
+UNION ALL
+SELECT 'topk', key, n, 0, 0 FROM (
+  SELECT conv_id AS key, CAST(count(*) AS BIGINT) AS n
+  FROM t GROUP BY 1
+  ORDER BY n DESC, key
+  LIMIT 20
+)
 """
 
 
@@ -674,28 +708,6 @@ SELECT conv_id, CAST(min(us) // 1000000 AS BIGINT) AS session_start,
        CAST(count(*) AS BIGINT) AS n_turns
 FROM s
 GROUP BY conv_id, session_id
-"""
-
-
-def q_topk_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k hottest conversations by turn count (deterministic
-    tie-break by conv_id) — TakeOrderedAndProject, no full sort."""
-    t = _derive_transcripts(spark, sf_dir)
-    return (
-        t.groupBy("conv_id")
-        .agg(F.count(F.lit(1)).alias("n_turns"))
-        .orderBy(F.desc("n_turns"), F.col("conv_id"))
-        .limit(20)
-    )
-
-
-def _oracle_topk_conversations() -> str:
-    return f"""
-WITH t AS ({_TRANSCRIPTS_FROM_EVENTS})
-SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns
-FROM t GROUP BY 1
-ORDER BY n_turns DESC, conv_id
-LIMIT 20
 """
 
 
@@ -992,10 +1004,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_survivors": q_dedup_survivors,
     "curation_pipeline": q_curation_pipeline,
-    "turn_gaps": q_turn_gaps,
+    "conversation_stats": q_conversation_stats,
     "session_windows": q_session_windows,
     "obsreport_counts": q_obsreport_counts,
-    "topk_conversations": q_topk_conversations,
     "metrics_temporality": q_metrics_temporality,
     "trace_summaries": q_trace_summaries,
     "tpch_q1": q_tpch_q1,
@@ -1020,10 +1031,9 @@ ORACLES: dict[str, str] = {
     "dedup_exact": _oracle_dedup_exact(),
     "dedup_survivors": _oracle_dedup_survivors(),
     "curation_pipeline": _oracle_curation_pipeline(),
-    "turn_gaps": _oracle_turn_gaps(),
+    "conversation_stats": _oracle_conversation_stats(),
     "session_windows": _oracle_session_windows(),
     "obsreport_counts": _oracle_obsreport_counts(),
-    "topk_conversations": _oracle_topk_conversations(),
     "metrics_temporality": _oracle_metrics_temporality(),
     "trace_summaries": _oracle_trace_summaries(),
     "tpch_q1": _oracle_tpch_q1(),

@@ -688,6 +688,87 @@ GROUP BY lang
 """
 
 
+_PACK_BUDGET = 256
+
+
+def q_td_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (trainingdata.packing) over
+    the documents table: whitespace token counts, grouped by lang,
+    deterministic doc_id order, 256-token chunks. Returns the
+    per-language packing manifest (chunks, docs, straddlers, rows,
+    total tokens) plus an order-independent checksum over the full
+    (doc, chunk) map — the oracle recomputes the identical chunk
+    layout with a window cumsum, so every span boundary is pinned,
+    not just the counts."""
+    from ..trainingdata import chunk_stats, pack_chunks, token_count
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents").select(
+        "lang", "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_chunks(
+        docs, budget=_PACK_BUDGET, token_col="n_tokens", part_col="lang"
+    )
+    stats = chunk_stats(packed, part_col="lang")
+    # order-independent span checksum in plain integer arithmetic
+    # (NOT xxhash64 — the oracle must reproduce it): rows are summed,
+    # each row folded as ((id*P + chunk)*P + tokens) mod M with the
+    # repo's shared rolling-hash constants
+    row_h = F.pmod(
+        (
+            F.pmod(F.col("id") * HASH_BASE + F.col("chunk_id"), F.lit(HASH_MOD))
+            * HASH_BASE
+            + F.col("tokens_in_chunk")
+        ),
+        F.lit(HASH_MOD),
+    )
+    checksum = packed.groupBy("lang").agg(
+        F.sum(row_h).alias("span_checksum")
+    )
+    return stats.join(checksum, "lang")
+
+
+def _oracle_td_pack() -> str:
+    b = _PACK_BUDGET
+    return f"""
+WITH d AS (
+  SELECT lang, doc_id,
+         CAST(len(string_split_regex(lower(trim(text)), ' +')) AS BIGINT) AS tok
+  FROM documents
+), spans AS (
+  SELECT lang, doc_id, tok,
+         sum(tok) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS e
+  FROM d WHERE tok > 0
+), rows_ AS (
+  SELECT lang, doc_id, e - tok AS s, e,
+         k.k AS chunk_id,
+         least(e, (k.k + 1) * {b}) - greatest(e - tok, k.k * {b}) AS tic
+  FROM spans,
+       UNNEST(generate_series(CAST((e - tok) // {b} AS BIGINT),
+                              CAST((e - 1) // {b} AS BIGINT))) AS k(k)
+), per_doc AS (
+  SELECT lang, doc_id, count(*) AS c FROM rows_ GROUP BY 1, 2
+)
+SELECT r.lang,
+       CAST(max(r.chunk_id) + 1 AS BIGINT) AS n_chunks,
+       CAST(count(*) AS BIGINT) AS n_doc_chunk_rows,
+       CAST(sum(r.tic) AS BIGINT) AS total_tokens,
+       CAST(any_value(pd.n_straddlers) AS BIGINT) AS n_straddlers,
+       CAST(any_value(pd.n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(((r.doc_id * {HASH_BASE} + r.chunk_id) % {HASH_MOD}
+                 * {HASH_BASE} + r.tic) % {HASH_MOD}) AS BIGINT) AS span_checksum
+FROM rows_ r
+JOIN (
+  SELECT lang,
+         CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM per_doc GROUP BY 1
+) pd USING (lang)
+GROUP BY 1
+"""
+
+
 # one source of truth for the PII test corpus: a deterministic text
 # per event carrying an email, an IP, and (on modular schedules) a
 # phone / SSN candidate plus digit decoys — the SAME SQL string runs
@@ -957,6 +1038,7 @@ TD_QUERIES = {
     "td_dup_components": q_td_dup_components,
     "td_stratified_sample": q_td_stratified_sample,
     "td_repetition": q_td_repetition,
+    "td_pack": q_td_pack,
 }
 
 TD_ORACLES = {
@@ -976,4 +1058,5 @@ TD_ORACLES = {
     "td_dup_components": _oracle_td_dup_components(),
     "td_stratified_sample": _oracle_td_stratified_sample(),
     "td_repetition": _oracle_td_repetition(),
+    "td_pack": _oracle_td_pack(),
 }

@@ -26,6 +26,7 @@ from .text import (
     stratified_sample,
 )
 from .components import connected_components, near_dup_survivors
+from .packing import pack_chunks, chunk_stats
 from .pii import PII_PATTERNS, pii_counts, total_pii_count, redact_pii
 from .repetition import (
     GOPHER_THRESHOLDS,
