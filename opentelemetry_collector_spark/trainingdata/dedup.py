@@ -131,6 +131,20 @@ def _plan_key(df: DataFrame):
         return id(df)
 
 
+def clear_signature_caches() -> None:
+    """Unpersist and drop every cached signature / capped-band frame.
+    For measurement harnesses: a retried benchmark attempt must redo
+    the same work as the first, not read the first attempt's persisted
+    frames (bench.py calls this between attempts)."""
+    with _SIG_CACHE_LOCK:
+        while _SIG_CACHE:
+            _, evicted = _SIG_CACHE.popitem(last=False)
+            try:
+                evicted.unpersist(blocking=False)
+            except Exception:
+                pass
+
+
 def _keyed_persist(key: tuple, frame: DataFrame) -> DataFrame:
     """Persist ``frame`` under ``key`` in the bounded FIFO cache (or
     return the already-persisted frame for the same key). FIFO
