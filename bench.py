@@ -91,9 +91,7 @@ def main() -> None:
         # time while the work's CPU-seconds stay ~constant, so a
         # round-over-round wall regression with matching CPU is
         # environment, not code.
-        cpu_secs[name] = round(
-            best["self_util"] * best["sec"] * meter.cores, 2
-        )
+        cpu_secs[name] = round(best["self_cpu_secs"], 2)
 
     # production-hash MinHash (xxhash64 — the 100 TB path; the suite
     # keeps the oracle-parity rolling hash so bench == correctness

@@ -85,4 +85,8 @@ class SectionMeter:
             "sec": wall,
             "ext_frac": round(ext / budget, 4),
             "self_util": round(self_cpu / budget, 3),
+            # exact (unrounded) CPU-seconds of our own process tree —
+            # regression-triage consumers need this, not a value
+            # reconstructed from the 3-decimal self_util
+            "self_cpu_secs": self_cpu,
         }

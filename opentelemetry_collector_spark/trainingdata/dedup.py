@@ -124,11 +124,15 @@ _SIG_CACHE_MAX = 8  # two entries (signatures + capped bands) per input
 
 def _plan_key(df: DataFrame):
     """Stable identity of a DataFrame's logical plan (Catalyst
-    semanticHash); falls back to object identity off classic PySpark."""
+    semanticHash). Off classic PySpark (e.g. Spark Connect) the
+    fallback is the DataFrame OBJECT itself — hash/eq by identity,
+    and the cache key tuple holds a strong reference, so the id can
+    never be recycled onto a different frame while the entry lives
+    (a plain ``id(df)`` could serve a stale frame after gc)."""
     try:
         return df._jdf.queryExecution().analyzed().semanticHash()
     except Exception:
-        return id(df)
+        return df
 
 
 def clear_signature_caches() -> None:
@@ -239,6 +243,7 @@ def _cap_hot_buckets(
     key_cols: tuple[str, str] = ("band_idx", "band_key"),
     observation=None,
     observe_name: str = "hot_bucket_cap",
+    persist_key: tuple | None = None,
 ) -> DataFrame:
     """Bound a band bucket's contribution to the self-join at ``limit``
     members (the deterministic ``limit`` lowest ids win). A hot bucket
@@ -263,7 +268,13 @@ def _cap_hot_buckets(
       ``dropped_members`` / ``capped_buckets`` measured BEFORE the
       filter — the CollectMetrics node between Filter and Window
       disables the group-limit pushdown, so this is the diagnostic
-      mode, not the default plan."""
+      mode, not the default plan.
+
+    ``persist_key`` (default-mode only): keyed-persist the capped
+    frame BELOW the observe node, so a cache hit still re-evaluates
+    the named metric — a CollectMetrics above an InMemoryTableScan is
+    one cheap columnar pass, while persisting ABOVE the observe would
+    silence ``at_cap_buckets`` for every query after the first."""
     if limit is None:
         return exploded
     from pyspark.sql.window import Window
@@ -282,9 +293,11 @@ def _cap_hot_buckets(
             ).alias("capped_buckets"),
         )
         return ranked.filter(F.col("_rk") <= limit).drop("_rk")
+    kept = ranked.filter(F.col("_rk") <= limit)
+    if persist_key is not None:
+        kept = _keyed_persist(persist_key, kept)
     return (
-        ranked.filter(F.col("_rk") <= limit)
-        .observe(
+        kept.observe(
             observe_name,
             F.coalesce(
                 F.sum((F.col("_rk") == limit).cast("long")), F.lit(0).cast("long")
@@ -339,26 +352,28 @@ def minhash_lsh_pairs(
         # evicting another's mid-flight), and the bound stops
         # repeated invocations from accumulating executor storage
         sigs = _keyed_persist(("sigs", _plan_key(df), text_col, id_col, hash_fn), sigs)
+    # Persist the capped (id, band) frame too (capped mode only): the
+    # self-join's two sides otherwise EACH pay the band-key window
+    # exchange — Spark does not reuse the exchange across join sides.
+    # The frame is ~24 B/row × bands, the cheapest thing in the whole
+    # plan to hold. The persist sits BELOW the observe (see
+    # _cap_hot_buckets) so `at_cap_buckets` still fires on cache hits.
+    # Skipped when the caller binds an explicit Observation (one-shot
+    # objects) and when uncapped — uncapped, the posexplode over the
+    # already-persisted sigs has no window shuffle to deduplicate.
+    persist_key = None
+    if cache_signatures and cap_observation is None and hot_bucket_limit is not None:
+        persist_key = (
+            "minhash-exploded", _plan_key(df), text_col, id_col, hash_fn,
+            hot_bucket_limit,
+        )
     exploded = _cap_hot_buckets(
         sigs.select("id", F.posexplode("bands").alias("band_idx", "band_key")),
         hot_bucket_limit,
         observation=cap_observation,
         observe_name="minhash_hot_bucket_cap",
+        persist_key=persist_key,
     )
-    if cache_signatures and cap_observation is None:
-        # persist the capped (id, band) frame too: the self-join's two
-        # sides otherwise EACH pay the band-key window exchange (and
-        # evaluate the cap's CollectMetrics twice) — Spark does not
-        # reuse the exchange across the join sides. The frame is
-        # ~24 B/row × bands, the cheapest thing in the whole plan to
-        # hold; with it cached the window shuffle and the cap metric
-        # run exactly once at any scale. Skipped when the caller binds
-        # an explicit Observation (those are one-shot objects).
-        exploded = _keyed_persist(
-            ("minhash-exploded", _plan_key(df), text_col, id_col, hash_fn,
-             hot_bucket_limit),
-            exploded,
-        )
     left = exploded.select(F.col("id").alias("id_a"), "band_idx", "band_key")
     right = exploded.select(F.col("id").alias("id_b"), "band_idx", "band_key")
     pairs = (
@@ -426,6 +441,7 @@ def simhash_lsh_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     bits: int = SIMHASH_BITS,
+    cache_signatures: bool = True,
     hot_bucket_limit: int | None = DEFAULT_HOT_BUCKET_LIMIT,
     hash_fn=None,
     cap_observation=None,
@@ -454,21 +470,30 @@ def simhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    exploded = _cap_hot_buckets(
-        sh.select("id", "sh", F.posexplode(band_arr).alias("band_idx", "band_key")),
-        hot_bucket_limit,
-        observation=cap_observation,
-        observe_name="simhash_hot_bucket_cap",
+    base = sh.select(
+        "id", "sh", F.posexplode(band_arr).alias("band_idx", "band_key")
     )
-    if cap_observation is None:
-        # same treatment as minhash's capped-band cache: without it
-        # BOTH self-join sides recompute the (expensive) per-token
-        # simhash AND the cap's window exchange + CollectMetrics; the
-        # cached frame is (id, long, int, long) — trivial to hold
-        exploded = _keyed_persist(
-            ("simhash-exploded", _plan_key(df), text_col, id_col, hash_fn,
-             bits, bands, hot_bucket_limit),
-            exploded,
+    # Same treatment as minhash's capped-band cache: without it BOTH
+    # self-join sides recompute the (expensive) per-token simhash AND
+    # the cap's window exchange; the cached frame is (id, long, int,
+    # long) — trivial to hold. Unlike minhash there is no separate
+    # signature persist, so the persist pays even uncapped (it is the
+    # only thing stopping a double simhash computation). The persist
+    # sits below the observe so `at_cap_buckets` fires on cache hits.
+    caching = cache_signatures and cap_observation is None
+    key = (
+        "simhash-exploded", _plan_key(df), text_col, id_col, hash_fn,
+        bits, bands, hot_bucket_limit,
+    )
+    if hot_bucket_limit is None:
+        exploded = _keyed_persist(key, base) if caching else base
+    else:
+        exploded = _cap_hot_buckets(
+            base,
+            hot_bucket_limit,
+            observation=cap_observation,
+            observe_name="simhash_hot_bucket_cap",
+            persist_key=key if caching else None,
         )
     left = exploded.select(
         F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band_idx", "band_key"

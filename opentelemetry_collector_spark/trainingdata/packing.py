@@ -59,9 +59,16 @@ def pack_chunks(
     tok = (F.col(token_col) if isinstance(token_col, str) else token_col).cast(
         "long"
     )
+    # ROWS frame, not Spark's default RANGE frame: under RANGE, rows tied
+    # on the order key all receive the same cumulative `end`, producing
+    # overlapping spans. id_col is appended as a tiebreaker so the ordering
+    # is total (id_col must be unique per group) and the ROWS cumsum stays
+    # deterministic across partitionings/retries.
     w = (
-        Window.partitionBy(part_col) if part_col else Window.partitionBy()
-    ).orderBy(order_col or id_col)
+        (Window.partitionBy(part_col) if part_col else Window.partitionBy())
+        .orderBy(order_col or id_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     staged = (
         df.select(
             *([part_col] if part_col else []),
@@ -72,13 +79,17 @@ def pack_chunks(
         .filter(F.col("_tok") > 0)
         .withColumn("start", F.col("end") - F.col("_tok"))
     )
-    b = F.lit(int(budget)).cast("long")
+    bb = int(budget)
+    b = F.lit(bb).cast("long")
+    # Integer `div`, not floor(double division): at offsets near 2^45+
+    # IEEE rounding can push (k+1)*budget - 1 over the chunk boundary.
+    # start/end are nonnegative, so `div` IS floor division here.
     spans = staged.withColumn(
         "chunk_id",
         F.explode(
             F.sequence(
-                F.floor(F.col("start") / b),
-                F.floor((F.col("end") - 1) / b),
+                F.expr(f"start div {bb}"),
+                F.expr(f"(end - 1) div {bb}"),
             )
         ),
     )

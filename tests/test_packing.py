@@ -75,6 +75,39 @@ class TestPackChunks:
         with pytest.raises(ValueError):
             pack_chunks(docs, 0)
 
+    def test_tied_order_key_rows_do_not_overlap(self, spark):
+        """Regression: rows tied on order_col must still get disjoint
+        spans. Spark's default window frame is RANGE, under which ties
+        share one cumulative end (two 5-token docs would both get
+        end=10); the ROWS frame + id tiebreaker keeps the layout a
+        bijection onto [0, total_tokens)."""
+        docs = spark.createDataFrame(
+            [(1, "2024-01-01", 5), (2, "2024-01-01", 5), (3, "2024-01-02", 5)],
+            "doc_id long, ingest_date string, n_tokens long",
+        )
+        rows = pack_chunks(docs, 100, order_col="ingest_date").collect()
+        spans = sorted((r["start"], r["end"], r["id"]) for r in rows)
+        assert spans == [(0, 5, 1), (5, 10, 2), (10, 15, 3)]
+        assert sum(r["tokens_in_chunk"] for r in rows) == 15
+
+    def test_huge_offsets_use_integer_division(self, spark):
+        """Regression: chunk ids must come from integer `div`, not
+        floor(double division). At start = 2^55 + 2^40 - 1 the long→
+        double cast rounds UP past the chunk boundary, so the float
+        path assigns the next doc to chunk 32769 only and silently
+        drops its token in chunk 32768."""
+        S, B = 2**55 + 2**40 - 1, 2**40
+        docs = spark.createDataFrame(
+            [(1, S), (2, 5)], "doc_id long, n_tokens long"
+        )
+        got = {
+            (r["chunk_id"], r["id"]): r["tokens_in_chunk"]
+            for r in pack_chunks(docs, B).collect()
+            if r["id"] == 2
+        }
+        # doc 2 spans [S, S+5): 1 token ends chunk 32768, 4 in 32769
+        assert got == {(32768, 2): 1, (32769, 2): 4}
+
     def test_global_stream_without_part_col(self, spark):
         docs = spark.createDataFrame(
             [(1, 5), (2, 5), (3, 5)], "doc_id long, n_tokens long"

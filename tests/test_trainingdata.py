@@ -238,6 +238,34 @@ class TestHotBucketCap:
         assert got["dropped_members"] == 0
         assert got["capped_buckets"] == 0
 
+    def test_cap_metric_survives_cache_hit(self, hot_corpus):
+        """Regression: the capped-band persist must sit BELOW the named
+        observe. Persisting above it silences `at_cap_buckets` for
+        every query after the first — the CollectMetrics node would
+        live inside the cached relation and never re-execute. Assert
+        the executed plan of a cache-hit invocation evaluates the
+        metric above the InMemoryTableScan."""
+        from opentelemetry_collector_spark.trainingdata.dedup import (
+            clear_signature_caches,
+        )
+
+        clear_signature_caches()
+        minhash_lsh_pairs(hot_corpus, hot_bucket_limit=10).collect()  # warm
+        fresh = minhash_lsh_pairs(hot_corpus, hot_bucket_limit=10)
+        plan = fresh._jdf.queryExecution().executedPlan().toString()
+        lines = plan.splitlines()
+        metric_at = next(
+            i for i, l in enumerate(lines) if "minhash_hot_bucket_cap" in l
+        )
+        scan_at = next(
+            i for i, l in enumerate(lines) if "InMemoryTableScan" in l
+        )
+        # an executing ancestor prints before the scan it reads from;
+        # a silenced metric appears only in the cached build-plan dump
+        # printed after the scan
+        assert metric_at < scan_at, plan[:2000]
+        clear_signature_caches()
+
     def test_cap_leaves_healthy_corpus_unchanged(self, docs):
         # every bucket in the normal fixture is under the limit, so the
         # pair set must be identical with and without the cap
