@@ -20,6 +20,12 @@ if _REPO not in sys.path:
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Round-over-round comparability note: in round 4 `dedup_exact` and
+# `td_simhash` became CONSOLIDATED matrix queries (each absorbed a
+# second formerly-separate driver row — survivors / near-dup pairs —
+# under the 50-row correctness budget), so their r4+ timings cover
+# strictly more work than their r3 timings; `query_cpu_secs` shows the
+# corresponding CPU increase is real work, not regression.
 BENCH_QUERIES = [
     "pipeline_errors_agg",
     "pipeline_routed_rows",
@@ -36,6 +42,8 @@ BENCH_QUERIES = [
     "session_windows",
     "trace_summaries",
     "td_salted_conv_counts",
+    "td_decontam",
+    "td_chunk_dedup",
 ]
 
 

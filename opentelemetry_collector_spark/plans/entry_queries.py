@@ -507,28 +507,77 @@ def murmur3_oracle_sql(sf_dir: str | None = None) -> str:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup by normalized-content fingerprint (md5 of the first
-    5 whitespace tokens, lowercased): per fingerprint keep the lowest
-    doc_id, count the cluster."""
+    """Exact-dedup matrix — the former ``dedup_exact`` and
+    ``dedup_survivors`` rows consolidated under the 50-row driver
+    budget, both semantics kept value-exact:
+
+    * ``metric='cluster'``: clusters by the prefix fingerprint (md5 of
+      the first 5 lowercased whitespace tokens) — k1 = fp,
+      v1 = keep_doc_id (lowest id), v2 = cluster_size;
+    * ``metric='survivors'``: keep the lowest doc_id per whole-text
+      normalized-md5 cluster (trainingdata.exact_dedup_clusters) and
+      count survivors per (source, lang) — k1 = source, k2 = lang,
+      v1 = n_survivors.
+    """
+    from ..trainingdata import exact_dedup_clusters
+
     _register(spark, sf_dir, "documents")
     docs = spark.table("documents")
     fp = F.md5(
         F.concat_ws(" ", F.slice(F.split(F.lower(F.trim(F.col("text"))), " +"), 1, 5))
     )
-    return (
+    clusters = (
         docs.withColumn("fp", fp)
         .groupBy("fp")
-        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("cluster_size"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+        .select(
+            F.lit("cluster").alias("metric"),
+            F.col("fp").alias("k1"),
+            F.lit(None).cast("string").alias("k2"),
+            F.col("keep_doc_id").cast("long").alias("v1"),
+            F.col("cluster_size").cast("long").alias("v2"),
+        )
     )
+    survivors = (
+        docs.join(
+            exact_dedup_clusters(docs).select(F.col("keep_id").alias("doc_id")),
+            "doc_id",
+            "inner",
+        )
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_survivors"))
+        .select(
+            F.lit("survivors").alias("metric"),
+            F.col("source").alias("k1"),
+            F.col("lang").alias("k2"),
+            F.col("n_survivors").cast("long").alias("v1"),
+            F.lit(None).cast("long").alias("v2"),
+        )
+    )
+    return clusters.unionByName(survivors)
 
 
 def _oracle_dedup_exact() -> str:
     return """
-SELECT md5(array_to_string(list_slice(string_split_regex(lower(trim(text)), ' +'), 1, 5), ' ')) AS fp,
-       CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
-       CAST(count(*) AS BIGINT) AS cluster_size
+SELECT 'cluster' AS metric,
+       md5(array_to_string(list_slice(string_split_regex(lower(trim(text)), ' +'), 1, 5), ' ')) AS k1,
+       CAST(NULL AS VARCHAR) AS k2,
+       CAST(min(doc_id) AS BIGINT) AS v1,
+       CAST(count(*) AS BIGINT) AS v2
 FROM documents
-GROUP BY 1
+GROUP BY 2
+UNION ALL
+SELECT 'survivors' AS metric, source AS k1, lang AS k2,
+       CAST(count(*) AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2
+FROM documents JOIN (
+  SELECT min(doc_id) AS keep_id
+  FROM documents
+  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+) c ON doc_id = keep_id
+GROUP BY 2, 3
 """
 
 
@@ -708,36 +757,6 @@ SELECT conv_id, CAST(min(us) // 1000000 AS BIGINT) AS session_start,
        CAST(count(*) AS BIGINT) AS n_turns
 FROM s
 GROUP BY conv_id, session_id
-"""
-
-
-def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup survivor set: keep the lowest doc_id per exact-content
-    cluster and count survivors per (source, lang) — the cluster →
-    survivor join pattern of a curation pipeline."""
-    from ..trainingdata import exact_dedup_clusters
-
-    _register(spark, sf_dir, "documents")
-    docs = spark.table("documents")
-    clusters = exact_dedup_clusters(docs)
-    survivors = docs.join(
-        clusters.select(F.col("keep_id").alias("doc_id")), "doc_id", "inner"
-    )
-    return survivors.groupBy("source", "lang").agg(
-        F.count(F.lit(1)).alias("n_survivors")
-    )
-
-
-def _oracle_dedup_survivors() -> str:
-    return """
-WITH c AS (
-  SELECT min(doc_id) AS keep_id
-  FROM documents
-  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
-)
-SELECT source, lang, CAST(count(*) AS BIGINT) AS n_survivors
-FROM documents JOIN c ON doc_id = keep_id
-GROUP BY 1, 2
 """
 
 
@@ -1002,7 +1021,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sampler_priority_override": q_sampler_priority_override,
     "sampler_murmur3": q_sampler_murmur3,
     "dedup_exact": q_dedup_exact,
-    "dedup_survivors": q_dedup_survivors,
     "curation_pipeline": q_curation_pipeline,
     "conversation_stats": q_conversation_stats,
     "session_windows": q_session_windows,
@@ -1029,7 +1047,6 @@ ORACLES: dict[str, str] = {
     "sampler_priority_override": _oracle_sampler_priority_override(),
     # sampler_murmur3: intentionally no oracle (murmur3 not SQL-expressible)
     "dedup_exact": _oracle_dedup_exact(),
-    "dedup_survivors": _oracle_dedup_survivors(),
     "curation_pipeline": _oracle_curation_pipeline(),
     "conversation_stats": _oracle_conversation_stats(),
     "session_windows": _oracle_session_windows(),

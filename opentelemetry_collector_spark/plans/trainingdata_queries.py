@@ -165,46 +165,41 @@ def _oracle_td_minhash_lsh_pairs() -> str:
 # ---------------------------------------------------------------------------
 
 def q_td_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _register(spark, sf_dir, "documents")
-    return spark.table("documents").select(
-        "doc_id", simhash(F.col("text")).alias("simhash")
-    )
+    """SimHash matrix — the former ``td_simhash`` (per-doc codes) and
+    ``td_simhash_near_dup`` (banded near-dup pairs) rows consolidated
+    under the 50-row driver budget, both value-exact:
 
-
-def _oracle_td_simhash() -> str:
-    bit_terms = " + ".join(
-        f"(CASE WHEN list_sum(list_transform(th, h -> ((h >> {b}) & 1) * 2 - 1)) > 0 "
-        f"THEN CAST({2 ** b} AS BIGINT) ELSE 0 END)"
-        for b in range(SIMHASH_BITS)
-    )
-    return f"""
-WITH th_t AS (
-  SELECT doc_id, list_transform({_SQL_TOKS}, t -> {_sql_rolling('t')}) AS th
-  FROM documents
-)
-SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM th_t
-"""
-
-
-def q_td_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded SimHash near-dup pairs (hamming ≤ 3 via 4×8-bit bands,
-    exact recall by pigeonhole)."""
+    * ``metric='code'``: per-document 32-bit SimHash
+      (id_a = doc_id, id_b NULL, value = code);
+    * ``metric='pair'``: near-dup pairs at hamming ≤ 3 via 4×8-bit
+      bands — exact recall by pigeonhole (value = hamming). Runs
+      uncapped (hot_bucket_limit=None) because this row's oracle is
+      the brute-force pairwise hamming; the capped default path is
+      oracled by td_minhash_lsh_pairs, whose SQL mirrors the cap.
+    """
     from ..trainingdata import simhash_lsh_pairs
 
     _register(spark, sf_dir, "documents")
-    # hot_bucket_limit=None: this row's oracle is the brute-force
-    # pairwise hamming (exact recall by pigeonhole), so the Spark side
-    # must run uncapped to share those semantics; the capped default
-    # path is oracled by td_minhash_lsh_pairs, whose SQL mirrors the cap
-    return simhash_lsh_pairs(
-        spark.table("documents"), max_hamming=3, hot_bucket_limit=None
+    d = spark.table("documents")
+    codes = d.select(
+        F.lit("code").alias("metric"),
+        F.col("doc_id").cast("long").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        simhash(F.col("text")).cast("long").alias("value"),
     )
+    pairs = simhash_lsh_pairs(d, max_hamming=3, hot_bucket_limit=None).select(
+        F.lit("pair").alias("metric"),
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.col("hamming").cast("long").alias("value"),
+    )
+    return codes.unionByName(pairs)
 
 
-def _oracle_td_simhash_near_dup() -> str:
-    # brute-force pairwise hamming over the simhash values (banding is
-    # an exact-recall optimization for hamming<=bands-1, so the brute
-    # force is the semantic definition)
+def _oracle_td_simhash() -> str:
+    # pair half: brute-force pairwise hamming over the simhash values
+    # (banding is an exact-recall optimization for hamming<=bands-1,
+    # so the brute force is the semantic definition)
     bit_terms = " + ".join(
         f"(CASE WHEN list_sum(list_transform(th, h -> ((h >> {b}) & 1) * 2 - 1)) > 0 "
         f"THEN CAST({2 ** b} AS BIGINT) ELSE 0 END)"
@@ -217,8 +212,13 @@ WITH th_t AS (
 ), sh AS (
   SELECT doc_id, CAST({bit_terms} AS BIGINT) AS s FROM th_t
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+SELECT 'code' AS metric, CAST(doc_id AS BIGINT) AS id_a,
+       CAST(NULL AS BIGINT) AS id_b, s AS value
+FROM sh
+UNION ALL
+SELECT 'pair' AS metric, CAST(a.doc_id AS BIGINT) AS id_a,
+       CAST(b.doc_id AS BIGINT) AS id_b,
+       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS value
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.s, b.s)) <= 3
 """
@@ -1021,10 +1021,96 @@ FROM conv LEFT JOIN lins USING (conv_id) LEFT JOIN pars USING (conv_id){joins}
 # registry fragments (merged by entry_queries)
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def q_td_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (trainingdata.decontam): the eval set
+    is the deterministic top-2% md5-bucket slice of documents (the
+    same key-hash machinery as assign_split, so the benchmark
+    membership is engine-portable), the train side is the rest; report
+    every train document sharing an n-gram with the eval set. n =
+    MINHASH_K so the oracle reuses the proven shingle SQL; production
+    uses 8–13-token windows (DEFAULT_DECONTAM_N)."""
+    from ..trainingdata import contamination, split_bucket
+
+    _register(spark, sf_dir, "documents")
+    d = spark.table("documents")
+    bucket = split_bucket(F.col("doc_id"))
+    ev = d.filter(bucket >= 9800)
+    tr = d.filter(bucket < 9800)
+    return contamination(tr, ev, n=MINHASH_K)
+
+
+def _oracle_td_decontam() -> str:
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+           % 10000 AS bucket,
+         {_SQL_SHINGLES} AS ngs
+  FROM documents
+), ev AS (
+  SELECT DISTINCT unnest(ngs) AS g FROM b WHERE bucket >= 9800
+), tr AS (
+  SELECT doc_id, len(ngs) AS total_ngrams, unnest(ngs) AS g
+  FROM b WHERE bucket < 9800
+)
+SELECT tr.doc_id, CAST(tr.total_ngrams AS BIGINT) AS total_ngrams,
+       CAST(count(*) AS BIGINT) AS hit_ngrams,
+       round(CAST(count(*) AS DOUBLE) / CAST(tr.total_ngrams AS DOUBLE), 6)
+         AS contamination
+FROM tr JOIN ev USING (g)
+GROUP BY tr.doc_id, tr.total_ngrams
+"""
+
+
+# ---------------------------------------------------------------------------
+# chunk-level exact substring dedup (boilerplate)
+# ---------------------------------------------------------------------------
+
+def q_td_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (trainingdata.dedup.chunk_dedup_stats):
+    10-token non-overlapping chunks, a chunk is boilerplate when it
+    appears in ≥2 distinct documents; per affected document report the
+    duplicated-chunk fraction. Chunks travel as md5 hashes (engine-
+    portable), so the oracle recomputes the identical chunking."""
+    from ..trainingdata import chunk_dedup_stats
+
+    _register(spark, sf_dir, "documents")
+    return chunk_dedup_stats(spark.table("documents"))
+
+
+def _oracle_td_chunk_dedup() -> str:
+    from ..trainingdata.dedup import CHUNK_WIDTH as W
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), f AS (
+  SELECT doc_id, toks, CAST(len(toks) // {W} AS BIGINT) AS n_chunks FROM t
+), ch AS (
+  SELECT doc_id, n_chunks,
+         md5(array_to_string(list_slice(toks, i * {W} + 1, i * {W} + {W}), ' ')) AS h
+  FROM f, unnest(generate_series(0, n_chunks - 1)) AS u(i)
+  WHERE n_chunks >= 1
+), boiler AS (
+  SELECT h FROM ch GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT ch.doc_id, ch.n_chunks, CAST(count(*) AS BIGINT) AS dup_chunks,
+       round(CAST(count(*) AS DOUBLE) / CAST(ch.n_chunks AS DOUBLE), 6)
+         AS dup_fraction
+FROM ch JOIN boiler USING (h)
+GROUP BY ch.doc_id, ch.n_chunks
+"""
+
+
 TD_QUERIES = {
     "td_minhash_lsh_pairs": q_td_minhash_lsh_pairs,
     "td_simhash": q_td_simhash,
-    "td_simhash_near_dup": q_td_simhash_near_dup,
+    "td_decontam": q_td_decontam,
+    "td_chunk_dedup": q_td_chunk_dedup,
     "td_salted_conv_counts": q_td_salted_conv_counts,
     "td_ngram_jaccard": q_td_ngram_jaccard,
     "td_embed_near_dup": q_td_embed_near_dup,
@@ -1044,7 +1130,8 @@ TD_QUERIES = {
 TD_ORACLES = {
     "td_minhash_lsh_pairs": _oracle_td_minhash_lsh_pairs(),
     "td_simhash": _oracle_td_simhash(),
-    "td_simhash_near_dup": _oracle_td_simhash_near_dup(),
+    "td_decontam": _oracle_td_decontam(),
+    "td_chunk_dedup": _oracle_td_chunk_dedup(),
     "td_salted_conv_counts": _oracle_td_salted_conv_counts(),
     "td_ngram_jaccard": _oracle_td_ngram_jaccard(),
     "td_embed_near_dup": _oracle_td_embed_near_dup(),

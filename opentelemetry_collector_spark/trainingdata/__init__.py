@@ -34,8 +34,16 @@ from .repetition import (
     repetition_metrics_py,
     gopher_repetition_filter,
 )
+from .decontam import (
+    DEFAULT_DECONTAM_N,
+    eval_ngram_set,
+    contamination,
+    decontaminate,
+)
 from .dedup import (
     exact_dedup_clusters,
+    chunk_hash_col,
+    chunk_dedup_stats,
     minhash_signature,
     lsh_band_keys,
     minhash_lsh_pairs,

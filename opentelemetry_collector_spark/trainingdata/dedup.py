@@ -555,6 +555,85 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# chunk-level exact substring dedup (boilerplate detection)
+# ---------------------------------------------------------------------------
+
+CHUNK_WIDTH = 10  # tokens per chunk; Lee et al. use 50-token windows
+
+
+def chunk_hash_col(col: Column, width: int = CHUNK_WIDTH) -> Column:
+    """Positional md5 hashes of NON-OVERLAPPING ``width``-token chunks
+    (trailing partial chunk dropped — a 1-token tail would collide on
+    common words and flood the dup set with noise). Documents shorter
+    than ``width`` tokens yield an empty array. md5 (not xxhash64) so
+    the chunk identity is engine-portable, same rationale as
+    ``split_bucket``; the array is positional, not distinct — a chunk
+    repeated WITHIN one document counts each occurrence."""
+    toks = tokens_col(col)
+    n_full = F.floor(F.size(toks) / width).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_full - 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * width + 1, width))),
+    )
+    return F.when(n_full >= 1, chunks).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def chunk_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = CHUNK_WIDTH,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact SUBSTRING-level dedup (the Lee-et-al. "Deduplicating
+    Training Data" observation: most duplication is passages repeated
+    across otherwise-distinct pages — boilerplate, licenses, quoted
+    spans — which whole-document dedup never sees). A chunk is
+    *boilerplate* when it appears in ≥ ``min_docs`` distinct
+    documents; per document with at least one such chunk, return
+    ``(id, n_chunks, dup_chunks, dup_fraction)`` — downstream, filter
+    on ``dup_fraction`` or cut the flagged spans.
+
+    Plan at 100 TB: chunks cross the wire as 32-char md5 hashes, never
+    text. One exchange on chunk hash feeds BOTH the boilerplate
+    grouping and the per-doc join (same key — Spark reuses the
+    exchange under AQE); the final groupBy(id) exchange carries at
+    most one partially-aggregated row per affected document because a
+    document's chunks are co-partitioned in its input split."""
+    ch = df.select(
+        F.col(id_col),
+        chunk_hash_col(F.col(text_col), width).alias("chs"),
+    ).select(
+        id_col,
+        F.size("chs").cast("long").alias("n_chunks"),
+        F.explode("chs").alias("h"),
+    )
+    boiler = (
+        ch.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("h")
+    )
+    return (
+        ch.join(boiler, "h")
+        .groupBy(id_col, "n_chunks")
+        .agg(F.count(F.lit(1)).alias("dup_chunks"))
+        .select(
+            id_col,
+            "n_chunks",
+            "dup_chunks",
+            F.round(
+                F.col("dup_chunks").cast("double")
+                / F.col("n_chunks").cast("double"),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding near-dup
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,186 @@
+"""Benchmark decontamination + chunk-level exact substring dedup.
+Goldens are independent pure-Python implementations."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.trainingdata import (
+    contamination,
+    decontaminate,
+    eval_ngram_set,
+    chunk_dedup_stats,
+    chunk_hash_col,
+)
+from opentelemetry_collector_spark.trainingdata.dedup import CHUNK_WIDTH
+
+
+def py_ngrams(text: str, n: int) -> set[str]:
+    toks = text.strip().lower().split()
+    if len(toks) >= n:
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    return {" ".join(toks)}
+
+
+TRAIN = [
+    # doc 0 contains eval doc 100's exact question as a span
+    (0, "intro text then what is the capital of france and more filler words here"),
+    # doc 1 shares nothing with the eval set
+    (1, "completely unrelated content about distributed query planning engines"),
+    # doc 2 contains TWO eval n-grams (overlapping eval doc 101)
+    (2, "the mitochondria is the powerhouse of the cell said the exam"),
+    # doc 3 shorter than n tokens, no overlap
+    (3, "tiny doc"),
+]
+EVAL = [
+    (100, "what is the capital of france"),
+    (101, "the mitochondria is the powerhouse of the cell"),
+    (102, "short q"),  # shorter than n → whole-text fallback n-gram
+]
+N = 5
+
+
+@pytest.fixture(scope="module")
+def train(spark):
+    return spark.createDataFrame(TRAIN, "doc_id long, text string").cache()
+
+
+@pytest.fixture(scope="module")
+def evaldf(spark):
+    return spark.createDataFrame(EVAL, "doc_id long, text string").cache()
+
+
+def py_contamination():
+    ev = set()
+    for _, t in EVAL:
+        ev |= py_ngrams(t, N)
+    out = {}
+    for i, t in TRAIN:
+        ngs = py_ngrams(t, N)
+        hits = len(ngs & ev)
+        if hits:
+            out[i] = (len(ngs), hits)
+    return out
+
+
+class TestDecontam:
+    def test_eval_ngram_set_includes_short_doc_fallback(self, evaldf):
+        grams = {r["g"] for r in eval_ngram_set(evaldf, N).collect()}
+        assert "short q" in grams  # whole-text fallback
+        assert "what is the capital of" in grams
+
+    def test_contamination_matches_python(self, train, evaldf):
+        rows = contamination(train, evaldf, n=N).collect()
+        got = {r["doc_id"]: (r["total_ngrams"], r["hit_ngrams"]) for r in rows}
+        assert got == py_contamination()
+        # clean docs are absent, not zero-rowed
+        assert 1 not in got and 3 not in got
+        # fraction is hits/total rounded to 6dp
+        for r in rows:
+            assert r["contamination"] == round(
+                r["hit_ngrams"] / r["total_ngrams"], 6
+            )
+
+    def test_decontaminate_strict_drops_any_hit(self, train, evaldf):
+        kept = {r["doc_id"] for r in decontaminate(train, evaldf, n=N).collect()}
+        assert kept == {1, 3}
+
+    def test_decontaminate_max_hits_threshold(self, train, evaldf):
+        golden = py_contamination()
+        # doc 2 has more hits than doc 0; a threshold between them
+        # keeps the lightly-contaminated doc
+        lo = golden[0][1]
+        kept = {
+            r["doc_id"]
+            for r in decontaminate(train, evaldf, n=N, max_hits=lo).collect()
+        }
+        assert 0 in kept and 2 not in kept
+
+    def test_exact_eval_doc_is_contaminated(self, spark, evaldf):
+        # a training doc that IS an eval doc: every n-gram hits
+        t = spark.createDataFrame(
+            [(7, "what is the capital of france")], "doc_id long, text string"
+        )
+        [r] = contamination(t, evaldf, n=N).collect()
+        assert r["hit_ngrams"] == r["total_ngrams"]
+        assert r["contamination"] == 1.0
+
+
+def py_chunks(text: str, width: int) -> list[str]:
+    toks = text.strip().lower().split()
+    n_full = len(toks) // width
+    return [
+        hashlib.md5(" ".join(toks[i * width : (i + 1) * width]).encode()).hexdigest()
+        for i in range(n_full)
+    ]
+
+
+BOILER = " ".join(f"w{i}" for i in range(CHUNK_WIDTH))  # one aligned chunk
+UNIQ = lambda tag: " ".join(f"{tag}{i}" for i in range(CHUNK_WIDTH))  # noqa: E731
+
+CHUNK_DOCS = [
+    (0, BOILER + " " + UNIQ("a")),        # boiler + unique → fraction 0.5
+    (1, BOILER + " " + UNIQ("b")),        # shares the boiler chunk
+    (2, UNIQ("c") + " " + UNIQ("d")),     # all unique → absent
+    (3, "short"),                          # < width tokens → no chunks
+    (4, UNIQ("e") + " tail words"),       # tail dropped → 1 chunk, unique
+]
+
+
+@pytest.fixture(scope="module")
+def chunk_docs(spark):
+    return spark.createDataFrame(CHUNK_DOCS, "doc_id long, text string").cache()
+
+
+class TestChunkDedup:
+    def test_chunk_hash_col_matches_python(self, chunk_docs):
+        rows = chunk_docs.select(
+            "doc_id", chunk_hash_col(F.col("text")).alias("chs")
+        ).collect()
+        got = {r["doc_id"]: list(r["chs"]) for r in rows}
+        for i, t in CHUNK_DOCS:
+            assert got[i] == py_chunks(t, CHUNK_WIDTH), i
+
+    def test_short_doc_has_no_chunks(self, chunk_docs):
+        [r] = (
+            chunk_docs.filter("doc_id = 3")
+            .select(chunk_hash_col(F.col("text")).alias("chs"))
+            .collect()
+        )
+        assert list(r["chs"]) == []
+
+    def test_stats_flag_shared_chunk_only(self, chunk_docs):
+        rows = chunk_dedup_stats(chunk_docs).collect()
+        got = {r["doc_id"]: r for r in rows}
+        assert set(got) == {0, 1}
+        for i in (0, 1):
+            assert got[i]["n_chunks"] == 2
+            assert got[i]["dup_chunks"] == 1
+            assert got[i]["dup_fraction"] == 0.5
+
+    def test_within_doc_repeat_needs_second_doc(self, spark):
+        # a chunk repeated twice INSIDE one doc is not boilerplate
+        # (min_docs counts distinct docs) ...
+        solo = spark.createDataFrame(
+            [(0, BOILER + " " + BOILER)], "doc_id long, text string"
+        )
+        assert chunk_dedup_stats(solo).count() == 0
+        # ... but once a second doc shares it, BOTH occurrences count
+        both = spark.createDataFrame(
+            [(0, BOILER + " " + BOILER), (1, BOILER + " " + UNIQ("z"))],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in chunk_dedup_stats(both).collect()}
+        assert got[0]["dup_chunks"] == 2 and got[0]["dup_fraction"] == 1.0
+        assert got[1]["dup_chunks"] == 1
+
+    def test_unaligned_shared_text_is_documented_miss(self, spark):
+        # positional chunking only catches boundary-aligned repeats —
+        # the documented trade-off vs suffix arrays (shift by one token
+        # → different chunks). MinHash/Jaccard cover the unaligned case.
+        shifted = spark.createDataFrame(
+            [(0, BOILER + " " + UNIQ("a")), (1, "shift " + BOILER)],
+            "doc_id long, text string",
+        )
+        assert chunk_dedup_stats(shifted).count() == 0

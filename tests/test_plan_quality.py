@@ -230,6 +230,78 @@ class TestPlanQuality:
         assert plan.count("Exchange") <= 2, plan  # groupBy (+AQE read)
         assert plan.count("ArrowEvalPython") == 1, plan
 
+    def test_decontam_broadcasts_eval_never_shuffles_corpus_ngrams(self, spark):
+        """contamination() must broadcast the eval n-gram set (the
+        corpus side never shuffles its n-grams) and its only
+        corpus-side exchange is the final per-doc count, partially
+        aggregated map-side — so at 100 TB the wire carries at most
+        one small row per contaminated document."""
+        from opentelemetry_collector_spark.trainingdata import contamination
+
+        docs = datagen.make_transcripts_df(spark, n_convs=5).selectExpr(
+            "cast(turn_idx as long) as doc_id", "text"
+        )
+        ev = docs.limit(3)
+        saved = {
+            k: spark.conf.get(k, None)
+            for k in (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.enabled",
+            )
+        }
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            plan = plan_of(contamination(docs, ev, n=3))
+            assert "BroadcastHashJoin" in plan, plan
+            assert "SortMergeJoin" not in plan, plan
+            # shuffles: eval-side distinct (tiny) + final groupBy — the
+            # exploded corpus n-grams never hit an exchange
+            n = self._shuffles(plan)
+            assert n <= 2, f"{n} shuffles\n{plan}"
+            assert "partial_count" in plan, plan
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+    def test_chunk_dedup_shuffles_hashes_not_text(self, spark):
+        """chunk_dedup_stats exchanges carry md5 chunk hashes and ids
+        only — the document text never crosses the wire."""
+        from opentelemetry_collector_spark.trainingdata import chunk_dedup_stats
+
+        docs = datagen.make_transcripts_df(spark, n_convs=5).selectExpr(
+            "cast(turn_idx as long) as doc_id", "text"
+        )
+        saved = {
+            k: spark.conf.get(k, None)
+            for k in (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.enabled",
+            )
+        }
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            plan = plan_of(chunk_dedup_stats(docs))
+            lines = plan.splitlines()
+            # every shuffle's child projects hashes/ids, never text
+            for i, ln in enumerate(lines):
+                if "Exchange hashpartitioning" in ln and "ReusedExchange" not in ln:
+                    assert "text" not in lines[i + 1], lines[i + 1]
+            # boilerplate groupBy(h) + per-doc join(h) + final
+            # groupBy(id) — bounded shuffle budget
+            n = self._shuffles(plan)
+            assert n <= 3, f"{n} shuffles\n{plan}"
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
     def test_topk_uses_take_ordered(self, spark, parquet_transcripts):
         q = (
             parquet_transcripts.groupBy("conv_id")
