@@ -1044,25 +1044,43 @@ def q_td_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_td_decontam() -> str:
+    # mirrors contamination(short_widths="auto"): the widths CTE
+    # derives eval-present short widths from the data (empty on the sf
+    # corpora — min doc width is 10 tokens — but the oracle stays
+    # value-exact if a corpus ever carries short benchmark prompts)
     return f"""
 WITH b AS (
   SELECT doc_id,
          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
            % 10000 AS bucket,
+         {_SQL_TOKS} AS toks,
          {_SQL_SHINGLES} AS ngs
   FROM documents
 ), ev AS (
   SELECT DISTINCT unnest(ngs) AS g FROM b WHERE bucket >= 9800
-), tr AS (
-  SELECT doc_id, len(ngs) AS total_ngrams, unnest(ngs) AS g
-  FROM b WHERE bucket < 9800
+), widths AS (
+  SELECT DISTINCT len(toks) AS w FROM b
+  WHERE bucket >= 9800 AND len(toks) > 0 AND len(toks) < {MINHASH_K}
+), tr_grams AS (
+  SELECT doc_id, unnest(ngs) AS g FROM b WHERE bucket < 9800
+  UNION
+  SELECT t.doc_id,
+         unnest(CASE WHEN len(t.toks) >= w.w
+           THEN list_transform(generate_series(1, len(t.toks) - w.w + 1),
+                               i -> array_to_string(list_slice(t.toks, i, i + w.w - 1), ' '))
+           ELSE [array_to_string(t.toks, ' ')] END) AS g
+  FROM b t CROSS JOIN widths w WHERE t.bucket < 9800
+), tot AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS total_ngrams
+  FROM tr_grams GROUP BY 1
+), hits AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS hit_ngrams
+  FROM tr_grams JOIN ev USING (g) GROUP BY 1
 )
-SELECT tr.doc_id, CAST(tr.total_ngrams AS BIGINT) AS total_ngrams,
-       CAST(count(*) AS BIGINT) AS hit_ngrams,
-       round(CAST(count(*) AS DOUBLE) / CAST(tr.total_ngrams AS DOUBLE), 6)
+SELECT hits.doc_id, tot.total_ngrams, hits.hit_ngrams,
+       round(CAST(hits.hit_ngrams AS DOUBLE) / CAST(tot.total_ngrams AS DOUBLE), 6)
          AS contamination
-FROM tr JOIN ev USING (g)
-GROUP BY tr.doc_id, tr.total_ngrams
+FROM hits JOIN tot USING (doc_id)
 """
 
 

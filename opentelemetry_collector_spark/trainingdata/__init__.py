@@ -37,6 +37,7 @@ from .repetition import (
 from .decontam import (
     DEFAULT_DECONTAM_N,
     eval_ngram_set,
+    eval_short_widths,
     contamination,
     decontaminate,
 )

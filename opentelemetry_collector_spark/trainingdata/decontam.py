@@ -5,6 +5,11 @@ The standard pretraining-hygiene step (GPT-3 App. C / Llama style:
 13-gram overlap against every eval benchmark): any training document
 containing an n-gram that also appears in the eval set is contaminated
 — leaving it in inflates benchmark scores without improving the model.
+Eval examples SHORTER than ``n`` tokens are matched by containment:
+their whole text is one gram, and the training side additionally
+generates grams of exactly those short widths, so a benchmark prompt
+embedded verbatim inside a longer training document still collides
+(the published policy's substring rule for short examples).
 
 Scale design (100 TB corpus, benchmark sets of 10^4..10^7 n-grams):
 
@@ -15,6 +20,9 @@ Scale design (100 TB corpus, benchmark sets of 10^4..10^7 n-grams):
     document sits in the same input partition, map-side partial
     aggregation collapses the join output to AT MOST ONE ROW PER
     CONTAMINATED DOCUMENT before the only exchange (keyed on doc id);
+  * the short-width list is collected from the EVAL side only (≤ n−1
+    distinct integers from the small-by-contract benchmark frame),
+    never from the corpus;
   * n-grams cross the broadcast as strings here for DuckDB oracle
     parity; at production scale hash them first (``production_hash``)
     so the broadcast holds 8-byte longs — same plan, ~10x smaller.
@@ -27,10 +35,13 @@ the published n-gram-collision definition.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import shingles_col
+from .dedup import overlap_report, shingles_col
+from .text import tokens_col
 
 DEFAULT_DECONTAM_N = 8  # 8..13-token windows are the published range
 
@@ -40,13 +51,41 @@ def eval_ngram_set(
 ) -> DataFrame:
     """Distinct n-grams of the evaluation corpus, as a one-column
     frame ``(g)`` ready to broadcast. Documents shorter than ``n``
-    tokens contribute their whole text as a single n-gram (same
-    fallback as ``shingles_col``), so short benchmark prompts are
-    still protected."""
+    tokens contribute their whole text as a single gram (same
+    fallback as ``shingles_col``); ``contamination`` pairs that with
+    matching short-width grams on the training side so short
+    benchmark prompts are caught by containment, not just by exact
+    whole-document equality."""
     return (
         eval_docs.select(F.explode(shingles_col(F.col(text_col), n)).alias("g"))
         .distinct()
     )
+
+
+def eval_short_widths(
+    eval_docs: DataFrame, n: int, text_col: str = "text"
+) -> list[int]:
+    """Distinct token widths (< n) present in the eval set — at most
+    n−1 integers, collected from the small-by-contract benchmark
+    frame (never the corpus). These are the extra gram widths the
+    training side must generate for containment matching."""
+    rows = (
+        eval_docs.select(F.size(tokens_col(F.col(text_col))).alias("w"))
+        .filter((F.col("w") > 0) & (F.col("w") < n))
+        .distinct()
+        .collect()
+    )
+    return sorted(r["w"] for r in rows)
+
+
+def _train_grams(col: Column, n: int, short_widths: Sequence[int]) -> Column:
+    """Distinct training-side grams: width-n shingles unioned with
+    shingles of every eval-present short width, so a short benchmark
+    prompt contained in this document appears as one of its grams."""
+    grams = shingles_col(col, n)
+    for w in sorted(set(short_widths)):
+        grams = F.array_union(grams, shingles_col(col, w))
+    return grams
 
 
 def contamination(
@@ -55,36 +94,34 @@ def contamination(
     n: int = DEFAULT_DECONTAM_N,
     id_col: str = "doc_id",
     text_col: str = "text",
+    short_widths: Sequence[int] | str = "auto",
 ) -> DataFrame:
     """Per-document contamination report: for every training document
-    that shares at least one n-gram with ``eval_docs``, return
+    that shares a gram with ``eval_docs``, return
     ``(id, total_ngrams, hit_ngrams, contamination)`` where
-    ``contamination = hit_ngrams / total_ngrams`` (distinct n-grams,
-    rounded to 6dp for cross-engine float stability). Clean documents
-    do not appear — the common case at scale, so the result is small.
-    """
+    ``contamination = hit_ngrams / total_ngrams`` over the document's
+    distinct grams (rounded to 6dp for cross-engine float stability).
+    Clean documents do not appear — the common case at scale, so the
+    result is small.
+
+    ``short_widths``: extra training-side gram widths for catching
+    eval examples shorter than ``n`` by containment. ``"auto"``
+    (default) collects the widths actually present in the eval set
+    (one tiny eval-side job); pass an explicit sequence — ``()`` to
+    disable — when the eval widths are known, which also skips the
+    probe job."""
+    if short_widths == "auto":
+        short_widths = eval_short_widths(eval_docs, n, text_col)
     ev = F.broadcast(eval_ngram_set(eval_docs, n, text_col))
     ng = docs.select(
-        F.col(id_col), shingles_col(F.col(text_col), n).alias("ngs")
+        F.col(id_col), _train_grams(F.col(text_col), n, short_widths).alias("ngs")
     ).select(
         id_col,
         F.size("ngs").cast("long").alias("total_ngrams"),
         F.explode("ngs").alias("g"),
     )
-    return (
-        ng.join(ev, "g")
-        .groupBy(id_col, "total_ngrams")
-        .agg(F.count(F.lit(1)).alias("hit_ngrams"))
-        .select(
-            id_col,
-            "total_ngrams",
-            "hit_ngrams",
-            F.round(
-                F.col("hit_ngrams").cast("double")
-                / F.col("total_ngrams").cast("double"),
-                6,
-            ).alias("contamination"),
-        )
+    return overlap_report(
+        ng, ev, "g", id_col, "total_ngrams", "hit_ngrams", "contamination"
     )
 
 
@@ -95,13 +132,17 @@ def decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hits: int = 0,
+    short_widths: Sequence[int] | str = "auto",
 ) -> DataFrame:
     """The filter form: drop every document with more than ``max_hits``
-    eval-overlapping n-grams (default 0 — any collision removes the
+    eval-overlapping grams (default 0 — any collision removes the
     document, the strict published policy). Left-anti join against the
-    small contaminated-id set, so the corpus passes through untouched
-    except for the drop."""
-    bad = contamination(docs, eval_docs, n, id_col, text_col).filter(
+    contaminated-id set; the join strategy is left to AQE — usually a
+    broadcast (few contaminated ids), but it degrades to a shuffle
+    anti-join instead of a driver OOM when the eval set overlaps a
+    large fraction of the corpus (e.g. eval drawn from the same
+    crawl)."""
+    bad = contamination(docs, eval_docs, n, id_col, text_col, short_widths).filter(
         F.col("hit_ngrams") > max_hits
     )
-    return docs.join(F.broadcast(bad.select(id_col)), id_col, "left_anti")
+    return docs.join(bad.select(id_col), id_col, "left_anti")

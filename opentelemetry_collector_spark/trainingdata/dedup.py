@@ -561,6 +561,38 @@ def ngram_jaccard_pairs(
 CHUNK_WIDTH = 10  # tokens per chunk; Lee et al. use 50-token windows
 
 
+def overlap_report(
+    exploded: DataFrame,
+    match: DataFrame,
+    join_key: str,
+    id_col: str,
+    total_col: str,
+    hit_name: str,
+    ratio_name: str,
+) -> DataFrame:
+    """Shared per-document overlap tail used by ``chunk_dedup_stats``
+    and ``decontam.contamination``: join an exploded (id, total, key)
+    frame against a key set, count hits per document, and report the
+    6dp-rounded hit ratio (the cross-engine float convention every
+    driver oracle assumes). Map-side partial aggregation collapses the
+    join output to at most one row per matching document before the
+    only id-keyed exchange."""
+    return (
+        exploded.join(match, join_key)
+        .groupBy(id_col, total_col)
+        .agg(F.count(F.lit(1)).alias(hit_name))
+        .select(
+            id_col,
+            total_col,
+            hit_name,
+            F.round(
+                F.col(hit_name).cast("double") / F.col(total_col).cast("double"),
+                6,
+            ).alias(ratio_name),
+        )
+    )
+
+
 def chunk_hash_col(col: Column, width: int = CHUNK_WIDTH) -> Column:
     """Positional md5 hashes of NON-OVERLAPPING ``width``-token chunks
     (trailing partial chunk dropped — a 1-token tail would collide on
@@ -616,20 +648,8 @@ def chunk_dedup_stats(
         .filter(F.col("n_docs") >= min_docs)
         .select("h")
     )
-    return (
-        ch.join(boiler, "h")
-        .groupBy(id_col, "n_chunks")
-        .agg(F.count(F.lit(1)).alias("dup_chunks"))
-        .select(
-            id_col,
-            "n_chunks",
-            "dup_chunks",
-            F.round(
-                F.col("dup_chunks").cast("double")
-                / F.col("n_chunks").cast("double"),
-                6,
-            ).alias("dup_fraction"),
-        )
+    return overlap_report(
+        ch, boiler, "h", id_col, "n_chunks", "dup_chunks", "dup_fraction"
     )
 
 

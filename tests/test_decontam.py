@@ -10,6 +10,7 @@ from opentelemetry_collector_spark.trainingdata import (
     contamination,
     decontaminate,
     eval_ngram_set,
+    eval_short_widths,
     chunk_dedup_stats,
     chunk_hash_col,
 )
@@ -52,12 +53,17 @@ def evaldf(spark):
 
 
 def py_contamination():
-    ev = set()
+    ev, widths = set(), set()
     for _, t in EVAL:
         ev |= py_ngrams(t, N)
+        w = len(t.strip().lower().split())
+        if 0 < w < N:
+            widths.add(w)  # short eval prompts → containment widths
     out = {}
     for i, t in TRAIN:
         ngs = py_ngrams(t, N)
+        for w in widths:
+            ngs |= py_ngrams(t, w)
         hits = len(ngs & ev)
         if hits:
             out[i] = (len(ngs), hits)
@@ -99,12 +105,33 @@ class TestDecontam:
 
     def test_exact_eval_doc_is_contaminated(self, spark, evaldf):
         # a training doc that IS an eval doc: every n-gram hits
+        # (short_widths=() pins the pure width-n semantics)
         t = spark.createDataFrame(
             [(7, "what is the capital of france")], "doc_id long, text string"
         )
-        [r] = contamination(t, evaldf, n=N).collect()
+        [r] = contamination(t, evaldf, n=N, short_widths=()).collect()
         assert r["hit_ngrams"] == r["total_ngrams"]
         assert r["contamination"] == 1.0
+
+    def test_eval_short_widths_probe(self, evaldf):
+        # 'short q' is the only sub-n eval doc → one width
+        assert eval_short_widths(evaldf, N) == [2]
+
+    def test_short_eval_prompt_caught_by_containment(self, spark, evaldf):
+        # a training doc EMBEDDING the short benchmark prompt (not
+        # equal to it) must be flagged: the auto short-width grams on
+        # the training side collide with the eval whole-text fallback
+        t = spark.createDataFrame(
+            [(8, "the answer to short q is x y z"),
+             (9, "no benchmark material anywhere in here")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in contamination(t, evaldf, n=N).collect()}
+        assert 8 in got and 9 not in got
+        assert got[8]["hit_ngrams"] == 1  # the contained 'short q' 2-gram
+        # and the strict filter drops it
+        kept = {r["doc_id"] for r in decontaminate(t, evaldf, n=N).collect()}
+        assert kept == {9}
 
 
 def py_chunks(text: str, width: int) -> list[str]:
