@@ -202,6 +202,102 @@ class TestChunkDedup:
         assert got[0]["dup_chunks"] == 2 and got[0]["dup_fraction"] == 1.0
         assert got[1]["dup_chunks"] == 1
 
+    def test_property_parity_random_corpora(self, spark):
+        """Hypothesis parity: contamination (auto short widths) and
+        chunk_dedup_stats vs the pure-Python models on random
+        small-vocab corpora. Examples are token-namespaced per case so
+        ONE DataFrame / one Spark job covers all of them (grams can
+        never collide across cases)."""
+        from hypothesis import given, settings, strategies as st
+
+        vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+        # min_size=1: the empty string tokenizes differently across
+        # engines (Spark split gives [''], Python split gives []) and
+        # is not a meaningful document
+        text_st = st.lists(
+            st.sampled_from(vocab), min_size=1, max_size=2 * CHUNK_WIDTH + 3
+        ).map(" ".join)
+        corpus_st = st.lists(text_st, min_size=1, max_size=5)
+        n = 3
+
+        def py_decontam_model(train, evals, widths):
+            # widths come from the WHOLE batched eval frame (the Spark
+            # call is one corpus), not per-case
+            ev = set()
+            for t in evals:
+                ev |= py_ngrams(t, n)
+            out = {}
+            for i, t in train:
+                ngs = py_ngrams(t, n)
+                for w in widths:
+                    ngs |= py_ngrams(t, w)
+                hits = len(ngs & ev)
+                if hits:
+                    out[i] = (len(ngs), hits)
+            return out
+
+        def py_chunk_model(train):
+            from collections import Counter
+
+            owners = {}
+            for i, t in train:
+                for h in set(py_chunks(t, CHUNK_WIDTH)):
+                    owners.setdefault(h, set()).add(i)
+            boiler = {h for h, s in owners.items() if len(s) >= 2}
+            out = {}
+            for i, t in train:
+                chs = py_chunks(t, CHUNK_WIDTH)
+                dup = sum(1 for h in chs if h in boiler)
+                if dup:
+                    out[i] = (len(chs), dup)
+            return out
+
+        @settings(max_examples=5, deadline=None)
+        @given(st.lists(st.tuples(corpus_st, corpus_st), min_size=1, max_size=6))
+        def run(cases):
+            def ns(case_idx, text):
+                return " ".join(f"c{case_idx}_{t}" for t in text.split())
+
+            global_widths = {
+                w
+                for _, evals in cases
+                for w in (len(t.split()) for t in evals)
+                if 0 < w < n
+            }
+            train_rows, eval_rows, models = [], [], {}
+            for ci, (train, evals) in enumerate(cases):
+                train = [(ci * 100 + j, ns(ci, t)) for j, t in enumerate(train)]
+                evals_ns = [ns(ci, t) for t in evals]
+                eval_rows += [(ci * 100 + 50 + j, e) for j, e in enumerate(evals_ns)]
+                train_rows += train
+                models[ci] = (
+                    py_decontam_model(train, evals_ns, global_widths),
+                    py_chunk_model(train),
+                )
+            tr = spark.createDataFrame(train_rows, "doc_id long, text string")
+            # fallback eval row uses un-namespaced sentinel tokens that
+            # can never collide with any case's grams
+            ev = spark.createDataFrame(
+                eval_rows or [(0, "sentinel0 sentinel1 sentinel2")],
+                "doc_id long, text string",
+            )
+            got_c = {
+                r["doc_id"]: (r["total_ngrams"], r["hit_ngrams"])
+                for r in contamination(tr, ev, n=n).collect()
+            }
+            got_k = {
+                r["doc_id"]: (r["n_chunks"], r["dup_chunks"])
+                for r in chunk_dedup_stats(tr).collect()
+            }
+            want_c, want_k = {}, {}
+            for ci, (mc, mk) in models.items():
+                want_c.update(mc)
+                want_k.update(mk)
+            assert got_c == want_c
+            assert got_k == want_k
+
+        run()
+
     def test_unaligned_shared_text_is_documented_miss(self, spark):
         # positional chunking only catches boundary-aligned repeats —
         # the documented trade-off vs suffix arrays (shift by one token
