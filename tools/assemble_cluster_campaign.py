@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -50,6 +51,22 @@ def leg_estimate(leg: dict, cores: int) -> tuple[float, str, int]:
     return min(p["sec"] for p in steady), "min_steady", len(clean)
 
 
+def cpu_floor(leg: dict, cores: int) -> float:
+    """Minimum pass CPU-seconds over sanely-accounted steady passes.
+    The job's work is CPU-invariant across runs on the same code +
+    input, so comparing this floor ACROSS runs exposes whole-window
+    interference the per-leg rules cannot see (hypervisor steal / bus
+    contention inflates every pass of a window uniformly: guest-side
+    ext_frac stays 0, the within-leg 1.15x rule passes, but the floor
+    itself sits well above other runs' floors)."""
+    cpu = [
+        p["sec"] * cores * p["self_util"]
+        for p in leg["passes"][2:]
+        if p["self_util"] > 0
+    ]
+    return round(min(cpu), 1) if cpu else float("nan")
+
+
 def grade_run(run: dict) -> dict:
     lo, hi = run["low"], run["high"]
     lo_rep, lo_est, lo_n = leg_estimate(lo, lo["cpus"])
@@ -64,6 +81,7 @@ def grade_run(run: dict) -> dict:
         "high_sec": round(hi_rep, 2),
         "estimator": lo_est if lo_est == hi_est else f"{lo_est}/{hi_est}",
         "n_clean": [lo_n, hi_n],
+        "cpu_floor": [cpu_floor(lo, lo["cpus"]), cpu_floor(hi, hi["cpus"])],
         "scaling_efficiency": round(eff, 3),
         "high_turns_per_sec": round(lo["rows"] / hi_rep, 1),
         "raw": run,
@@ -95,13 +113,18 @@ def main() -> None:
             "<=1.15x leg minimum (floor over externally-clean passes "
             "with self_util>0 — a mid-pass worker death reports "
             "negative CPU and must not poison the floor); rep = median "
-            "of clean steady passes, symmetric min-of-steady fallback"
+            "of clean steady passes, symmetric min-of-steady fallback; "
+            "per-leg cpu_floor recorded so cross-run floor comparison "
+            "exposes whole-window interference (same code + input => "
+            "pass CPU is invariant; an elevated floor marks the run's "
+            "window as degraded by host-level noise the guest cannot "
+            "see, discounting its efficiency by rule, not argument)"
         ),
         "sources": [os.path.basename(p) for p in sys.argv[1:]],
         "input_rows": runs[0]["raw"]["low"]["rows"],
         "n_runs": len(runs),
         "efficiencies": effs,
-        "median_efficiency": round(effs[len(effs) // 2], 3),
+        "median_efficiency": round(statistics.median(effs), 3),
         "runs": runs,
     }
     out = os.path.join(REPO, "BENCH", "cluster_campaign.json")
