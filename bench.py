@@ -117,7 +117,9 @@ def main() -> None:
     m = meter.stop()
     if m["ext_frac"] > 0.10:
         contended.append("minhash_xxhash")
-        ext_max = max(ext_max, m["ext_frac"])
+    # published timing => its external burn counts toward the
+    # reported max even below the contention threshold
+    ext_max = max(ext_max, m["ext_frac"])
     minhash_xxhash_sec = round(m["sec"], 3)
 
     # throughput of the flagship pipeline: turns/sec through

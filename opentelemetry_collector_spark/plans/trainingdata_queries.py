@@ -30,7 +30,6 @@ from ..trainingdata import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     quality_score,
-    simhash,
     synthesize_media,
 )
 from ..trainingdata.dedup import (
@@ -177,15 +176,22 @@ def q_td_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       the brute-force pairwise hamming; the capped default path is
       oracled by td_minhash_lsh_pairs, whose SQL mirrors the cap.
     """
-    from ..trainingdata import simhash_lsh_pairs
+    from ..trainingdata import simhash_exploded_bands, simhash_lsh_pairs
 
     _register(spark, sf_dir, "documents")
     d = spark.table("documents")
-    codes = d.select(
-        F.lit("code").alias("metric"),
-        F.col("doc_id").cast("long").alias("id_a"),
-        F.lit(None).cast("long").alias("id_b"),
-        simhash(F.col("text")).cast("long").alias("value"),
+    # codes come from the SAME persisted exploded frame the pair
+    # branch joins on (band 0 carries one (id, sh) row per doc), so
+    # the per-token simhash computes once for the whole matrix
+    codes = (
+        simhash_exploded_bands(d)
+        .filter(F.col("band_idx") == 0)
+        .select(
+            F.lit("code").alias("metric"),
+            F.col("id").cast("long").alias("id_a"),
+            F.lit(None).cast("long").alias("id_b"),
+            F.col("sh").cast("long").alias("value"),
+        )
     )
     pairs = simhash_lsh_pairs(d, max_hamming=3, hot_bucket_limit=None).select(
         F.lit("pair").alias("metric"),

@@ -49,6 +49,7 @@ from .dedup import (
     lsh_band_keys,
     minhash_lsh_pairs,
     simhash,
+    simhash_exploded_bands,
     simhash_lsh_pairs,
     hamming_distance,
     ngram_jaccard_pairs,

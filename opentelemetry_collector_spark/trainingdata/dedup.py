@@ -139,12 +139,14 @@ def clear_signature_caches() -> None:
     """Unpersist and drop every cached signature / capped-band frame.
     For measurement harnesses: a retried benchmark attempt must redo
     the same work as the first, not read the first attempt's persisted
-    frames (bench.py calls this between attempts)."""
+    frames (bench.py calls this between attempts). Blocking eviction:
+    the caller is about to start a timed window, and an async eviction
+    would run the previous attempt's block cleanup inside it."""
     with _SIG_CACHE_LOCK:
         while _SIG_CACHE:
             _, evicted = _SIG_CACHE.popitem(last=False)
             try:
-                evicted.unpersist(blocking=False)
+                evicted.unpersist(blocking=True)
             except Exception:
                 pass
 
@@ -434,6 +436,45 @@ def hamming_distance(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_exploded_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+    bands: int = 4,
+    hash_fn=None,
+    cache_signatures: bool = True,
+) -> DataFrame:
+    """UNCAPPED (id, sh, band_idx, band_key) band frame behind the
+    keyed persist — the shared build for ``simhash_lsh_pairs`` and any
+    per-document code consumer (filter ``band_idx = 0`` for one
+    (id, sh) row per doc), so the expensive per-token simhash computes
+    once per corpus even when codes and pairs appear in one query.
+    Per-doc codes must come from THIS frame, never a capped one: the
+    hot-bucket cap drops (id, band) rows, so a capped frame can lose a
+    document's band 0 entirely."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        simhash(F.col(text_col), bits, hash_fn=hash_fn).alias("sh"),
+    )
+    band_arr = F.array(
+        *[
+            F.shiftright(F.col("sh"), b * width).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
+    )
+    base = sh.select(
+        "id", "sh", F.posexplode(band_arr).alias("band_idx", "band_key")
+    )
+    key = (
+        "simhash-exploded", _plan_key(df), text_col, id_col, hash_fn,
+        bits, bands, None,
+    )
+    return _keyed_persist(key, base) if cache_signatures else base
+
+
 def simhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -458,21 +499,6 @@ def simhash_lsh_pairs(
             f"banded recall guarantee needs max_hamming <= bands-1 "
             f"(got {max_hamming} > {bands - 1})"
         )
-    width = bits // bands
-    mask = (1 << width) - 1
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        simhash(F.col(text_col), bits, hash_fn=hash_fn).alias("sh"),
-    )
-    band_arr = F.array(
-        *[
-            F.shiftright(F.col("sh"), b * width).bitwiseAND(F.lit(mask))
-            for b in range(bands)
-        ]
-    )
-    base = sh.select(
-        "id", "sh", F.posexplode(band_arr).alias("band_idx", "band_key")
-    )
     # Same treatment as minhash's capped-band cache: without it BOTH
     # self-join sides recompute the (expensive) per-token simhash AND
     # the cap's window exchange; the cached frame is (id, long, int,
@@ -481,12 +507,17 @@ def simhash_lsh_pairs(
     # only thing stopping a double simhash computation). The persist
     # sits below the observe so `at_cap_buckets` fires on cache hits.
     caching = cache_signatures and cap_observation is None
+    base = simhash_exploded_bands(
+        df, text_col=text_col, id_col=id_col, bits=bits, bands=bands,
+        hash_fn=hash_fn,
+        cache_signatures=caching and hot_bucket_limit is None,
+    )
     key = (
         "simhash-exploded", _plan_key(df), text_col, id_col, hash_fn,
         bits, bands, hot_bucket_limit,
     )
     if hot_bucket_limit is None:
-        exploded = _keyed_persist(key, base) if caching else base
+        exploded = base
     else:
         exploded = _cap_hot_buckets(
             base,

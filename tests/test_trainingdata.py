@@ -188,6 +188,28 @@ class TestSimHash:
         assert dists[2] == 0  # exact dup
         assert dists[1] < dists[3]  # near-dup closer than unrelated
 
+    def test_exploded_band0_is_per_doc_code(self, docs):
+        """Band 0 of the shared exploded frame carries exactly one
+        (id, sh) row per document with the full simhash — the contract
+        q_td_simhash's codes branch relies on to avoid computing the
+        per-token simhash twice."""
+        from opentelemetry_collector_spark.trainingdata import (
+            simhash_exploded_bands,
+        )
+
+        ex = simhash_exploded_bands(docs, cache_signatures=False)
+        band0 = {
+            r["id"]: r["sh"]
+            for r in ex.filter(F.col("band_idx") == 0).collect()
+        }
+        direct = {
+            r["doc_id"]: r["sh"]
+            for r in docs.select(
+                "doc_id", simhash(F.col("text")).alias("sh")
+            ).collect()
+        }
+        assert band0 == direct
+
 
 class TestHotBucketCap:
     @pytest.fixture(scope="class")

@@ -51,20 +51,28 @@ def leg_estimate(leg: dict, cores: int) -> tuple[float, str, int]:
     return min(p["sec"] for p in steady), "min_steady", len(clean)
 
 
-def cpu_floor(leg: dict, cores: int) -> float:
+def cpu_floor(leg: dict, cores: int) -> float | None:
     """Minimum pass CPU-seconds over sanely-accounted steady passes.
     The job's work is CPU-invariant across runs on the same code +
     input, so comparing this floor ACROSS runs exposes whole-window
     interference the per-leg rules cannot see (hypervisor steal / bus
     contention inflates every pass of a window uniformly: guest-side
     ext_frac stays 0, the within-leg 1.15x rule passes, but the floor
-    itself sits well above other runs' floors)."""
+    itself sits well above other runs' floors).
+
+    Prefers the exact self_cpu_secs field (recorded by newer
+    cluster_bench runs) over reconstructing from the 3-decimal-rounded
+    self_util, which quantizes to ±13 CPU-seconds on a 1000s pass on a
+    24-core budget — enough to swap two runs' floor ordering. Returns
+    None (JSON null) when every steady pass lost its worker tree
+    mid-pass — float('nan') would serialize as a bare NaN literal and
+    make the whole campaign file invalid JSON."""
     cpu = [
-        p["sec"] * cores * p["self_util"]
+        p.get("self_cpu_secs", p["sec"] * cores * p["self_util"])
         for p in leg["passes"][2:]
         if p["self_util"] > 0
     ]
-    return round(min(cpu), 1) if cpu else float("nan")
+    return round(min(cpu), 1) if cpu else None
 
 
 def grade_run(run: dict) -> dict:

@@ -158,7 +158,12 @@ for _ in range(8):
     passes.append({{"sec": wall,
                     "ext_frac": round(ext / (cores * wall), 4),
                     "host_ext_frac": round(host_ext / ((os.cpu_count() or 32) * wall), 4),
-                    "self_util": round((w1 - w0) / (cores * wall), 3)}})
+                    "self_util": round((w1 - w0) / (cores * wall), 3),
+                    # exact worker-tree CPU-seconds: floor-comparison
+                    # consumers need this, not a value reconstructed
+                    # from the 3-decimal self_util (±13 CPU-s on a
+                    # 1000s pass at 24 cores)
+                    "self_cpu_secs": round(w1 - w0, 2)}})
 # drop 2: run-1 traces (2026-08-17) show the multi-worker leg's JIT +
 # page-cache warmup tail extends into the second measured pass (54.4s
 # -> settling at ~39s); one warmup + two dropped passes is when both
