@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "td_salted_conv_counts",
     "td_decontam",
     "td_chunk_dedup",
+    "asof_attribution",
 ]
 
 

@@ -1,3 +1,4 @@
+from .asof import asof_join
 from .attributes import Action, AttributesProcessor, apply_actions_to_map
 from .filters import (
     AttributeCondition,
@@ -26,6 +27,7 @@ from .metrics import (
 )
 
 __all__ = [
+    "asof_join",
     "Action",
     "AttributesProcessor",
     "apply_actions_to_map",

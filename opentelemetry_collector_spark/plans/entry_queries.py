@@ -351,6 +351,49 @@ GROUP BY 1
 """
 
 
+def q_filterset_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filterset matrix — the former ``filter_strict_priority``
+    (strict membership over orders) and ``metric_filter_names``
+    (strict-exclude → regexp-include composition over metric names)
+    rows consolidated under the 50-row driver budget; each case keeps
+    its full value check (counts + a summed measure, cast to one
+    schema)."""
+    from .operator_queries import q_metric_filter_names
+
+    strict = q_filter_strict_priority(spark, sf_dir).select(
+        F.lit("strict_priority").alias("fs_case"),
+        F.col("o_orderstatus").alias("key"),
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_price").cast("double").alias("agg_val"),
+    )
+    names = q_metric_filter_names(spark, sf_dir).select(
+        F.lit("metric_names").alias("fs_case"),
+        F.col("name").alias("key"),
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_id").cast("double").alias("agg_val"),
+    )
+    return strict.unionByName(names)
+
+
+def _oracle_filterset_matrix() -> str:
+    from .operator_queries import _oracle_metric_filter_names
+
+    return f"""
+SELECT 'strict_priority' AS fs_case, o_orderstatus AS key, n, agg_val
+FROM (
+  SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE), 6) AS agg_val
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+  GROUP BY 1
+)
+UNION ALL
+SELECT 'metric_names' AS fs_case, name AS key, n,
+       CAST(sum_id AS DOUBLE) AS agg_val
+FROM ({_oracle_metric_filter_names()})
+"""
+
+
 def q_agg_window_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time 5-minute window aggregation over events (the
     time-bucketed telemetry counting; window starts as epoch secs)."""
@@ -1014,7 +1057,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parse_extract_props": q_parse_extract_props,
     "span_rename": q_span_rename,
     "enrich_broadcast_region": q_enrich_broadcast_region,
-    "filter_strict_priority": q_filter_strict_priority,
+    "filterset_matrix": q_filterset_matrix,
     "agg_window_5min": q_agg_window_5min,
     "batch_trigger_counts": q_batch_trigger_counts,
     "hash_redact": q_hash_redact,
@@ -1040,7 +1083,7 @@ ORACLES: dict[str, str] = {
     "parse_extract_props": _oracle_parse_extract_props(),
     "span_rename": _oracle_span_rename(),
     "enrich_broadcast_region": _oracle_enrich_broadcast_region(),
-    "filter_strict_priority": _oracle_filter_strict_priority(),
+    "filterset_matrix": _oracle_filterset_matrix(),
     "agg_window_5min": _oracle_agg_window_5min(),
     "batch_trigger_counts": _oracle_batch_trigger_counts(),
     "hash_redact": _oracle_hash_redact(),

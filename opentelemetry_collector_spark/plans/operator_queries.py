@@ -1035,12 +1035,64 @@ def _oracle_logging_exporter_debug() -> str:
     )
 
 
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution via the as-of join operator: each
+    purchase event gets the user's most recent click at-or-before the
+    purchase (DuckDB ``ASOF JOIN`` is the engine-neutral oracle).
+    The right side is deduplicated to one row per (user_id, ts) —
+    max(event_id) — so boundary ties are deterministic in both
+    engines; gap is exact integer microseconds."""
+    from ..operators import asof_join
+
+    _register(spark, sf_dir, "events")
+    e = spark.table("events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts", "value"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    j = asof_join(purchases, clicks, on="ts", by="user_id")
+    return j.select(
+        F.col("purchase_id").cast("long").alias("purchase_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("value").alias("purchase_value"),
+        F.col("click_id").cast("long").alias("click_id"),
+        # parquet timestamps load as TIMESTAMP_NTZ; session TZ is
+        # pinned UTC so the cast to instant is lossless
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts_r").cast("timestamp"))
+        ).cast("long").alias("gap_us"),
+    )
+
+
+def _oracle_asof_attribution() -> str:
+    return """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts, value
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+)
+SELECT CAST(p.purchase_id AS BIGINT) AS purchase_id,
+       CAST(p.user_id AS BIGINT) AS user_id,
+       p.value AS purchase_value,
+       CAST(c.click_id AS BIGINT) AS click_id,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 OP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "logging_exporter_debug": q_logging_exporter_debug,
     "expr_filter_metrics": q_expr_filter_metrics,
     "resource_processor": q_resource_processor,
     "resource_to_label": q_resource_to_label,
-    "metric_filter_names": q_metric_filter_names,
+    "asof_attribution": q_asof_attribution,
     "split_batches": q_split_batches,
     "span_wire_roundtrips": q_span_wire_roundtrips,
     "log_wire_roundtrips": q_log_wire_roundtrips,
@@ -1054,7 +1106,7 @@ OP_ORACLES: dict[str, str] = {
     "expr_filter_metrics": _oracle_expr_filter_metrics(),
     "resource_processor": _oracle_resource_processor(),
     "resource_to_label": _oracle_resource_to_label(),
-    "metric_filter_names": _oracle_metric_filter_names(),
+    "asof_attribution": _oracle_asof_attribution(),
     "split_batches": _oracle_split_batches(),
     "span_wire_roundtrips": _oracle_span_wire_roundtrips(),
     "log_wire_roundtrips": _oracle_log_wire_roundtrips(),
