@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "td_decontam",
     "td_chunk_dedup",
     "asof_attribution",
+    "range_session_errors",
 ]
 
 

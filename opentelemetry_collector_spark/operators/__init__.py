@@ -1,5 +1,6 @@
-from .asof import asof_join
+from .asof import asof_join, numeric_axis
 from .attributes import Action, AttributesProcessor, apply_actions_to_map
+from .rangejoin import interval_overlap_join, point_in_interval_join
 from .filters import (
     AttributeCondition,
     MatchProperties,
@@ -28,6 +29,9 @@ from .metrics import (
 
 __all__ = [
     "asof_join",
+    "numeric_axis",
+    "interval_overlap_join",
+    "point_in_interval_join",
     "Action",
     "AttributesProcessor",
     "apply_actions_to_map",

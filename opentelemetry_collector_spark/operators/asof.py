@@ -38,8 +38,23 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
 
 _DIRECTIONS = ("backward", "forward", "nearest")
+
+_TIME_TYPES = (TimestampType, TimestampNTZType, DateType)
+
+
+def numeric_axis(df: DataFrame, col_name: str):
+    """Column-factory mapping ``col_name``'s type onto a double axis
+    for distance/bucket arithmetic: timestamps (incl. TIMESTAMP_NTZ,
+    which Spark 4 refuses to cast to DOUBLE directly — parquet scans
+    produce NTZ by default) become epoch seconds with microsecond
+    precision via the instant cast (session TZ is pinned UTC, so the
+    NTZ→instant cast is lossless); numerics cast straight to double."""
+    if isinstance(df.schema[col_name].dataType, _TIME_TYPES):
+        return lambda c: F.unix_micros(c.cast("timestamp")) / F.lit(1e6)
+    return lambda c: c.cast("double")
 
 
 def _null_of(df: DataFrame, col: Column) -> Column:
@@ -115,10 +130,10 @@ def asof_join(
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
 
+    axis = numeric_axis(left, on)
+
     def _diff(match: Column) -> Column:
-        # timestamp casts to double = epoch seconds (micro precision);
-        # numeric on-columns subtract directly
-        return F.col("_on").cast("double") - match[on].cast("double")
+        return axis(F.col("_on")) - axis(match[on])
 
     def _within(match: Column, signed_diff: Column) -> Column:
         if tolerance is None:

@@ -1035,6 +1035,92 @@ def _oracle_logging_exporter_debug() -> str:
     )
 
 
+def q_resource_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource matrix — the former ``resource_processor`` (all four
+    attribute actions over the resource map) and ``resource_to_label``
+    (resource attrs copied into datapoint labels, datapoint winning on
+    collision) rows consolidated under the 50-row driver budget."""
+    proc = q_resource_processor(spark, sf_dir).select(
+        F.lit("processor").alias("rp_case"),
+        F.col("env").alias("k1"),
+        F.col("ver").alias("k2"),
+        F.col("svc").alias("k3"),
+        F.col("has_tmp").cast("string").alias("k4"),
+        F.col("n").cast("long").alias("n"),
+    )
+    lab = q_resource_to_label(spark, sf_dir).select(
+        F.lit("to_label").alias("rp_case"),
+        F.col("name").alias("k1"),
+        F.col("k").alias("k2"),
+        F.col("region").alias("k3"),
+        F.lit("").alias("k4"),
+        F.col("n").cast("long").alias("n"),
+    )
+    return proc.unionByName(lab)
+
+
+def _oracle_resource_matrix() -> str:
+    return f"""
+SELECT 'processor' AS rp_case, env AS k1, ver AS k2, svc AS k3,
+       CAST(has_tmp AS VARCHAR) AS k4, n
+FROM ({_oracle_resource_processor()})
+UNION ALL
+SELECT 'to_label' AS rp_case, name AS k1, k AS k2, region AS k3,
+       '' AS k4, n
+FROM ({_oracle_resource_to_label()})
+"""
+
+
+def q_range_session_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join: every signup event opens a
+    one-hour window; errors by the same user inside the window are
+    counted per signup (the engine-neutral oracle is DuckDB's plain
+    inequality join). Exercises the bucketed equi-join path end to
+    end — bucket width = the window length, so each interval explodes
+    to ≤2 buckets."""
+    from ..operators import point_in_interval_join
+
+    _register(spark, sf_dir, "events")
+    e = spark.table("events")
+    windows = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        F.expr("ts + INTERVAL 1 HOUR").alias("w_end"),
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "value"
+    )
+    joined = point_in_interval_join(
+        errors, windows, on="ts", start="w_start", end="w_end",
+        by="user_id", bucket_width=3600.0,
+    )
+    return joined.groupBy("signup_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_errors"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("sum_value"),
+    )
+
+
+def _oracle_range_session_errors() -> str:
+    return """
+WITH s AS (
+  SELECT event_id AS signup_id, user_id, ts AS w_start,
+         ts + INTERVAL 1 HOUR AS w_end
+  FROM events WHERE event_type = 'signup'
+), err AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'error'
+)
+SELECT s.signup_id, CAST(s.user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_errors,
+       round(CAST(sum(CAST(err.value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
+FROM s JOIN err ON err.user_id = s.user_id
+               AND err.ts >= s.w_start AND err.ts < s.w_end
+GROUP BY 1, 2
+"""
+
+
 def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch attribution via the as-of join operator: each
     purchase event gets the user's most recent click at-or-before the
@@ -1090,9 +1176,9 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
 OP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "logging_exporter_debug": q_logging_exporter_debug,
     "expr_filter_metrics": q_expr_filter_metrics,
-    "resource_processor": q_resource_processor,
-    "resource_to_label": q_resource_to_label,
+    "resource_matrix": q_resource_matrix,
     "asof_attribution": q_asof_attribution,
+    "range_session_errors": q_range_session_errors,
     "split_batches": q_split_batches,
     "span_wire_roundtrips": q_span_wire_roundtrips,
     "log_wire_roundtrips": q_log_wire_roundtrips,
@@ -1104,9 +1190,9 @@ OP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 OP_ORACLES: dict[str, str] = {
     "logging_exporter_debug": _oracle_logging_exporter_debug(),
     "expr_filter_metrics": _oracle_expr_filter_metrics(),
-    "resource_processor": _oracle_resource_processor(),
-    "resource_to_label": _oracle_resource_to_label(),
+    "resource_matrix": _oracle_resource_matrix(),
     "asof_attribution": _oracle_asof_attribution(),
+    "range_session_errors": _oracle_range_session_errors(),
     "split_batches": _oracle_split_batches(),
     "span_wire_roundtrips": _oracle_span_wire_roundtrips(),
     "log_wire_roundtrips": _oracle_log_wire_roundtrips(),

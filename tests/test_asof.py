@@ -123,6 +123,26 @@ class TestTolerance:
         }
         assert out == {0: None, 1: None, 2: None, 3: 103, 4: None, 5: 101}
 
+    def test_tolerance_on_timestamp_ntz(self, spark):
+        """Parquet scans produce TIMESTAMP_NTZ, which Spark 4 refuses
+        to cast to DOUBLE — the tolerance distance must route through
+        the instant cast instead (regression: the first implementation
+        raised DATATYPE_MISMATCH on any NTZ input with a tolerance)."""
+        l = spark.createDataFrame(
+            [(0, "a", _ts(10)), (1, "a", _ts(59))],
+            "id long, key string, ts timestamp_ntz",
+        )
+        r = spark.createDataFrame(
+            [(100, "a", _ts(8))], "rid long, key string, ts timestamp_ntz"
+        )
+        got = {
+            row["id"]: row["rid"]
+            for row in asof_join(
+                l, r, on="ts", by="key", tolerance=600.0
+            ).collect()
+        }
+        assert got == {0: 100, 1: None}
+
     def test_numeric_on_column(self, spark):
         l = spark.createDataFrame([(0, 10.0), (1, 3.0)], "id long, x double")
         r = spark.createDataFrame([(7, 9.5), (8, 1.0)], "rid long, x double")
