@@ -23,14 +23,17 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # Round-over-round comparability note: in round 4 `dedup_exact` and
 # `td_simhash` became CONSOLIDATED matrix queries (each absorbed a
 # second formerly-separate driver row — survivors / near-dup pairs —
-# under the 50-row correctness budget), so their r4+ timings cover
-# strictly more work than their r3 timings; `query_cpu_secs` shows the
-# corresponding CPU increase is real work, not regression.
+# under the 50-row correctness budget), `agg_window_5min` grew into
+# `rollup_multires` (the 5-min aggregation is now the finest level of
+# a 3-level rollup cascade), and `asof_attribution` /
+# `range_session_errors` are new queries — so r4+ suite totals cover
+# strictly more work than r3; `query_cpu_secs` shows the corresponding
+# CPU increase is real work, not regression.
 BENCH_QUERIES = [
     "pipeline_errors_agg",
     "pipeline_routed_rows",
     "route_fanout_counts",
-    "agg_window_5min",
+    "rollup_multires",
     "enrich_broadcast_region",
     "sampler_murmur3",
     "dedup_exact",

@@ -1,6 +1,7 @@
 from .asof import asof_join, numeric_axis
 from .attributes import Action, AttributesProcessor, apply_actions_to_map
 from .rangejoin import interval_overlap_join, point_in_interval_join
+from .rollup import rollup_cascade
 from .filters import (
     AttributeCondition,
     MatchProperties,
@@ -32,6 +33,7 @@ __all__ = [
     "numeric_axis",
     "interval_overlap_join",
     "point_in_interval_join",
+    "rollup_cascade",
     "Action",
     "AttributesProcessor",
     "apply_actions_to_map",

@@ -394,33 +394,84 @@ FROM ({_oracle_metric_filter_names()})
 """
 
 
-def q_agg_window_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event-time 5-minute window aggregation over events (the
-    time-bucketed telemetry counting; window starts as epoch secs)."""
+def q_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup (5 min → 1 h → 1 d)
+    over events via the cascade operator — each coarser level
+    re-aggregates the finer one, so the raw table is scanned once.
+    The 300 s slice reproduces the former ``agg_window_5min`` row
+    exactly (that row consolidated into this one); the coarser levels
+    pin the cascade's re-aggregation rules (sum of counts, exact
+    derived avg, max of maxes) against a direct GROUP BY oracle.
+    Decimal value column so sums are order-independent in both
+    engines."""
+    from ..operators import rollup_cascade
+
     _register(spark, sf_dir, "events")
-    events = spark.table("events")
-    return (
-        events.groupBy(
-            _epoch_s(F.window("ts", "5 minutes").start).alias("window_start"),
-            "event_type",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(
-                F.sum(F.col("value").cast("decimal(20,4)")).cast("double"), 6
-            ).alias("sum_value"),
-        )
+    e = spark.table("events").select(
+        "ts", "event_type", F.col("value").cast("decimal(20,6)").alias("v")
+    )
+    out = rollup_cascade(
+        e,
+        ts="ts",
+        keys="event_type",
+        measures={
+            "n": ("count", "*"),
+            "v_sum": ("sum", "v"),
+            "v_avg": ("avg", "v"),
+            "v_max": ("max", "v"),
+        },
+        levels=(300.0, 3600.0, 86400.0),
+    )
+    return out.select(
+        "level_sec",
+        "bucket_start",
+        "event_type",
+        "n",
+        F.col("v_sum").cast("double").alias("v_sum"),
+        F.col("v_avg").cast("double").alias("v_avg"),
+        F.col("v_max").cast("double").alias("v_max"),
     )
 
 
-def _oracle_agg_window_5min() -> str:
+def _oracle_rollup_multires() -> str:
     epoch = _DUCK_EPOCH.format(col="ts")
     return f"""
-SELECT CAST(floor({epoch} / 300) * 300 AS BIGINT) AS window_start, event_type,
-       CAST(count(*) AS BIGINT) AS n,
-       round(CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE), 6) AS sum_value
-FROM events
-GROUP BY 1, 2
+WITH b AS (
+  SELECT {epoch} AS es, event_type, CAST(value AS DECIMAL(20,6)) AS v
+  FROM events
+), l1 AS (
+  SELECT CAST(es // 300 * 300 AS BIGINT) AS bucket_start, event_type,
+         CAST(count(*) AS BIGINT) AS n, sum(v) AS sv, count(v) AS cv,
+         max(v) AS mv
+  FROM b GROUP BY 1, 2
+), l2 AS (
+  SELECT CAST(bucket_start // 3600 * 3600 AS BIGINT) AS bucket_start,
+         event_type, CAST(sum(n) AS BIGINT) AS n, sum(sv) AS sv,
+         sum(cv) AS cv, max(mv) AS mv
+  FROM l1 GROUP BY 1, 2
+), l3 AS (
+  SELECT CAST(bucket_start // 86400 * 86400 AS BIGINT) AS bucket_start,
+         event_type, CAST(sum(n) AS BIGINT) AS n, sum(sv) AS sv,
+         sum(cv) AS cv, max(mv) AS mv
+  FROM l2 GROUP BY 1, 2
+)
+SELECT CAST(300.0 AS DOUBLE) AS level_sec, bucket_start, event_type, n,
+       CAST(sv AS DOUBLE) AS v_sum,
+       CASE WHEN cv = 0 THEN NULL ELSE CAST(sv AS DOUBLE) / cv END AS v_avg,
+       CAST(mv AS DOUBLE) AS v_max
+FROM l1
+UNION ALL
+SELECT CAST(3600.0 AS DOUBLE), bucket_start, event_type, n,
+       CAST(sv AS DOUBLE), CASE WHEN cv = 0 THEN NULL
+                                ELSE CAST(sv AS DOUBLE) / cv END,
+       CAST(mv AS DOUBLE)
+FROM l2
+UNION ALL
+SELECT CAST(86400.0 AS DOUBLE), bucket_start, event_type, n,
+       CAST(sv AS DOUBLE), CASE WHEN cv = 0 THEN NULL
+                                ELSE CAST(sv AS DOUBLE) / cv END,
+       CAST(mv AS DOUBLE)
+FROM l3
 """
 
 
@@ -1058,7 +1109,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_rename": q_span_rename,
     "enrich_broadcast_region": q_enrich_broadcast_region,
     "filterset_matrix": q_filterset_matrix,
-    "agg_window_5min": q_agg_window_5min,
+    "rollup_multires": q_rollup_multires,
     "batch_trigger_counts": q_batch_trigger_counts,
     "hash_redact": q_hash_redact,
     "sampler_priority_override": q_sampler_priority_override,
@@ -1084,7 +1135,7 @@ ORACLES: dict[str, str] = {
     "span_rename": _oracle_span_rename(),
     "enrich_broadcast_region": _oracle_enrich_broadcast_region(),
     "filterset_matrix": _oracle_filterset_matrix(),
-    "agg_window_5min": _oracle_agg_window_5min(),
+    "rollup_multires": _oracle_rollup_multires(),
     "batch_trigger_counts": _oracle_batch_trigger_counts(),
     "hash_redact": _oracle_hash_redact(),
     "sampler_priority_override": _oracle_sampler_priority_override(),

@@ -1,0 +1,183 @@
+"""Rollup cascade: every level must equal a direct GROUP BY over the
+raw rows at that resolution (the cascade is an optimization, never a
+semantic change), plus validation and scan-reuse plan shape."""
+
+import datetime as dt
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.operators import rollup_cascade
+
+
+@pytest.fixture(scope="module")
+def raw(spark):
+    rng = random.Random(31)
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            base + dt.timedelta(seconds=rng.randint(0, 3 * 86400)),
+            rng.choice(["a", "b"]),
+            round(rng.uniform(0, 10), 3),
+        )
+        for _ in range(800)
+    ]
+    # null values exercise count/avg null semantics
+    rows += [(base + dt.timedelta(seconds=50), "a", None)] * 3
+    return spark.createDataFrame(
+        rows, "ts timestamp, k string, v double"
+    ).cache()
+
+
+MEASURES = {
+    "n": ("count", "*"),
+    "v_sum": ("sum", "v"),
+    "v_avg": ("avg", "v"),
+    "v_min": ("min", "v"),
+    "v_max": ("max", "v"),
+}
+LEVELS = [60.0, 3600.0, 86400.0]
+
+
+def direct_level(df, width):
+    """The semantic definition: one GROUP BY over raw at this width."""
+    b = (F.floor(F.unix_micros(F.col("ts")) / F.lit(1e6) / F.lit(width)) * F.lit(
+        int(width)
+    )).cast("long")
+    return (
+        df.groupBy(b.alias("bucket_start"), "k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").alias("v_sum"),
+            F.avg("v").alias("v_avg"),
+            F.min("v").alias("v_min"),
+            F.max("v").alias("v_max"),
+        )
+    )
+
+
+class TestCascadeExactness:
+    @pytest.fixture(scope="class")
+    def rolled(self, raw):
+        return rollup_cascade(
+            raw, ts="ts", keys="k", measures=MEASURES, levels=LEVELS
+        ).cache()
+
+    @pytest.mark.parametrize("width", LEVELS)
+    def test_level_equals_direct_groupby(self, raw, rolled, width):
+        got = {
+            (r["bucket_start"], r["k"]): (
+                r["n"],
+                round(r["v_sum"] or 0, 6),
+                round(r["v_avg"], 6) if r["v_avg"] is not None else None,
+                r["v_min"],
+                r["v_max"],
+            )
+            for r in rolled.filter(F.col("level_sec") == width).collect()
+        }
+        want = {
+            (r["bucket_start"], r["k"]): (
+                r["n"],
+                round(r["v_sum"] or 0, 6),
+                round(r["v_avg"], 6) if r["v_avg"] is not None else None,
+                r["v_min"],
+                r["v_max"],
+            )
+            for r in direct_level(raw, width).collect()
+        }
+        assert got == want
+
+    def test_avg_is_not_average_of_averages(self, spark):
+        # two 1m buckets with very different counts inside one hour:
+        # a naive avg-of-avgs would give 5.5, the exact hourly avg is 1.9
+        base = dt.datetime(2024, 1, 1)
+        rows = [(base, "k", 1.0)] * 9 + [(base + dt.timedelta(minutes=5), "k", 10.0)]
+        df = spark.createDataFrame(rows, "ts timestamp, k string, v double")
+        out = rollup_cascade(
+            df, ts="ts", keys="k",
+            measures={"v_avg": ("avg", "v")}, levels=[60.0, 3600.0],
+        )
+        hourly = out.filter(F.col("level_sec") == 3600.0).collect()
+        assert len(hourly) == 1
+        assert abs(hourly[0]["v_avg"] - 1.9) < 1e-9
+
+    def test_null_only_bucket_has_null_avg(self, spark):
+        base = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(base, "k", None)], "ts timestamp, k string, v double"
+        )
+        rows = rollup_cascade(
+            df, ts="ts", keys="k",
+            measures={"n": ("count", "*"), "v_avg": ("avg", "v")},
+            levels=[60.0, 3600.0],
+        ).collect()
+        assert all(r["n"] == 1 and r["v_avg"] is None for r in rows)
+
+
+class TestValidation:
+    def test_rejects_non_nesting_levels(self, raw):
+        with pytest.raises(ValueError, match="divide the next"):
+            rollup_cascade(raw, keys="k", measures=MEASURES, levels=[60, 90])
+
+    def test_rejects_non_increasing_levels(self, raw):
+        with pytest.raises(ValueError, match="strictly increasing"):
+            rollup_cascade(raw, keys="k", measures=MEASURES, levels=[3600, 60])
+
+    def test_rejects_non_cascadable_aggregate(self, raw):
+        with pytest.raises(ValueError, match="not exactly cascadable"):
+            rollup_cascade(
+                raw, keys="k",
+                measures={"u": ("count_distinct", "v")}, levels=[60],
+            )
+
+    def test_rejects_empty_measures(self, raw):
+        with pytest.raises(ValueError, match="at least one"):
+            rollup_cascade(raw, keys="k", measures={}, levels=[60])
+
+
+class TestPlanShape:
+    def test_raw_input_aggregated_once(self, spark, tmp_path):
+        """Coarser levels must re-aggregate the finer level, not the
+        raw table: with cache_levels (the default) each level is
+        materialized once, so the raw relation feeds exactly ONE
+        scan + partial-aggregate — not one per level."""
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (base + dt.timedelta(seconds=i * 37), "k", float(i % 10))
+            for i in range(400)
+        ]
+        path = str(tmp_path / "raw")
+        spark.createDataFrame(rows, "ts timestamp, k string, v double").write.parquet(path)
+        raw = spark.read.parquet(path)
+        out = rollup_cascade(
+            raw, ts="ts", keys="k", measures=MEASURES, levels=LEVELS
+        )
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # cached relations RE-PRINT their build plan (twice: AQE-final
+        # and original) under every InMemoryTableScan, so FileScan and
+        # plan_id counts overcount. What executed is the set of AQE
+        # shuffle stages: a true cascade materializes exactly one
+        # aggregate shuffle per level; an uncached cascade re-derives
+        # the finer levels inside every branch (~2x the stages)
+        import re
+
+        stages = set(re.findall(r"ShuffleQueryStage (\d+)", plan))
+        assert len(stages) == len(LEVELS), plan
+        # and the cascade is real: coarser branches read the cached
+        # finer level
+        assert "InMemoryTableScan" in plan
+
+    def test_cache_levels_off_still_correct(self, raw):
+        a = rollup_cascade(
+            raw, ts="ts", keys="k", measures=MEASURES, levels=LEVELS,
+            cache_levels=False,
+        )
+        b = rollup_cascade(
+            raw, ts="ts", keys="k", measures=MEASURES, levels=LEVELS
+        )
+        key = lambda r: (r["level_sec"], r["bucket_start"], r["k"])
+        ra = sorted(map(lambda r: r.asDict(), a.collect()), key=key)
+        rb = sorted(map(lambda r: r.asDict(), b.collect()), key=key)
+        assert ra == rb
