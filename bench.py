@@ -77,6 +77,9 @@ def main() -> None:
     cpu_secs: dict[str, float] = {}
     contended: list[str] = []
     ext_max = 0.0
+    from opentelemetry_collector_spark.operators.rollup import (
+        clear_level_caches,
+    )
     from opentelemetry_collector_spark.trainingdata.dedup import (
         clear_signature_caches,
     )
@@ -85,9 +88,11 @@ def main() -> None:
         attempts = []
         for _ in range(2):
             # a retry must redo the SAME work: drop the dedup
-            # signature/band caches so a contended first attempt
-            # doesn't turn the retry into a warm-cache measurement
+            # signature/band caches AND the rollup level caches so a
+            # contended first attempt doesn't turn the retry into a
+            # warm-cache measurement
             clear_signature_caches()
+            clear_level_caches()
             meter.start()
             force(QUERIES[name](spark, SF_DIR))
             attempts.append(meter.stop())

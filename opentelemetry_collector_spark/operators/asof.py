@@ -107,7 +107,14 @@ def asof_join(
         lstruct.alias("_lrow"),
         _null_of(right, rstruct).alias("_rrow"),
     )
-    rt = right.filter(F.col(on).isNotNull()).select(
+    # NULL by-keys never match (DuckDB ASOF `l.k = r.k` and pandas
+    # merge_asof semantics): drop null-keyed right rows so a left row
+    # with a NULL key stays unmatched instead of joining the NULL
+    # "group" the window partitioning would otherwise form
+    right_nonnull = right
+    for k in by:
+        right_nonnull = right_nonnull.filter(F.col(k).isNotNull())
+    rt = right_nonnull.filter(F.col(on).isNotNull()).select(
         *by,
         F.col(on).alias("_on"),
         F.lit(0).alias("_is_left"),

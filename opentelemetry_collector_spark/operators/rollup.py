@@ -29,12 +29,65 @@ rather than silently double-counting.
 
 from __future__ import annotations
 
+import threading
+from collections import OrderedDict
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .asof import numeric_axis
 
 _CASCADABLE = ("count", "sum", "min", "max", "avg")
+
+# Bounded FIFO of persisted intermediate levels (same pattern as the
+# dedup signature cache): repeated calls on the same input reuse one
+# cached frame instead of stacking a new persist per call, and FIFO
+# eviction unpersists the oldest — no unbounded cache growth in a
+# long-lived session.
+_LEVEL_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+_LEVEL_CACHE_LOCK = threading.Lock()
+_LEVEL_CACHE_MAX = 8
+
+
+def _plan_key(df: DataFrame):
+    """Stable identity of the input's logical plan (semanticHash);
+    falls back to the DataFrame object off classic PySpark — the key
+    tuple keeps a strong reference so identity can't be recycled."""
+    try:
+        return df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:
+        return df
+
+
+def _keyed_persist(key: tuple, frame: DataFrame) -> DataFrame:
+    with _LEVEL_CACHE_LOCK:
+        cached = _LEVEL_CACHE.get(key)
+        if cached is not None:
+            _LEVEL_CACHE.move_to_end(key)
+            return cached
+        frame = frame.persist()
+        _LEVEL_CACHE[key] = frame
+        while len(_LEVEL_CACHE) > _LEVEL_CACHE_MAX:
+            _, evicted = _LEVEL_CACHE.popitem(last=False)
+            try:
+                evicted.unpersist(blocking=False)
+            except Exception:
+                pass
+        return frame
+
+
+def clear_level_caches() -> None:
+    """Unpersist and drop every cached rollup level — measurement
+    harnesses call this between benchmark attempts so a retry redoes
+    the same work (blocking, so eviction can't bleed into the next
+    timed window)."""
+    with _LEVEL_CACHE_LOCK:
+        while _LEVEL_CACHE:
+            _, evicted = _LEVEL_CACHE.popitem(last=False)
+            try:
+                evicted.unpersist(blocking=True)
+            except Exception:
+                pass
 
 
 def rollup_cascade(
@@ -63,7 +116,9 @@ def rollup_cascade(
     aggregate once per level (exchange reuse does not currently fire
     across these AQE stages), turning O(raw + finest) into
     O(raw × levels). The persisted frames are aggregates — smaller
-    than raw by the bucket ratio — so the footprint is trivial.
+    than raw by the bucket ratio — and live in a bounded keyed FIFO
+    (repeat calls reuse them; eviction unpersists; harnesses reset
+    with ``clear_level_caches``).
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     if not measures:
@@ -119,11 +174,15 @@ def rollup_cascade(
         .withColumn("level_sec", F.lit(fine_w))
     )
     out = [level]
-    for w in levels[1:]:
+    cache_key_base = (
+        "rollup", _plan_key(df), ts, tuple(keys),
+        tuple((n, a, c) for n, (a, c) in measures.items()), tuple(levels),
+    )
+    for li, w in enumerate(levels[1:]):
         if cache_levels:
             # materialize the level every coarser branch reads (and
             # the union re-reads) exactly once
-            level = level.persist()
+            level = _keyed_persist(cache_key_base + (li,), level)
             out[-1] = level
         coarser = (F.floor(F.col("bucket_start") / F.lit(int(w))) * F.lit(int(w))).cast(
             "long"

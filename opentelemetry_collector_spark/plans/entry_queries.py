@@ -376,17 +376,15 @@ def q_filterset_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_filterset_matrix() -> str:
+    # composed from the standalone sub-oracles (same pattern as
+    # _oracle_resource_matrix) so a precision or predicate change in
+    # either can never silently drift from the matrix row
     from .operator_queries import _oracle_metric_filter_names
 
     return f"""
-SELECT 'strict_priority' AS fs_case, o_orderstatus AS key, n, agg_val
-FROM (
-  SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
-         round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE), 6) AS agg_val
-  FROM orders
-  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
-  GROUP BY 1
-)
+SELECT 'strict_priority' AS fs_case, o_orderstatus AS key, n,
+       sum_price AS agg_val
+FROM ({_oracle_filter_strict_priority()})
 UNION ALL
 SELECT 'metric_names' AS fs_case, name AS key, n,
        CAST(sum_id AS DOUBLE) AS agg_val
@@ -422,14 +420,17 @@ def q_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         levels=(300.0, 3600.0, 86400.0),
     )
+    # round(6) on every emitted double — the repo-wide oracle-parity
+    # convention: BigDecimal.doubleValue (Spark) vs int128/10^scale
+    # (DuckDB) conversions can differ by 1 ulp on >15-digit sums
     return out.select(
         "level_sec",
         "bucket_start",
         "event_type",
         "n",
-        F.col("v_sum").cast("double").alias("v_sum"),
-        F.col("v_avg").cast("double").alias("v_avg"),
-        F.col("v_max").cast("double").alias("v_max"),
+        F.round(F.col("v_sum").cast("double"), 6).alias("v_sum"),
+        F.round(F.col("v_avg").cast("double"), 6).alias("v_avg"),
+        F.round(F.col("v_max").cast("double"), 6).alias("v_max"),
     )
 
 
@@ -456,21 +457,24 @@ WITH b AS (
   FROM l2 GROUP BY 1, 2
 )
 SELECT CAST(300.0 AS DOUBLE) AS level_sec, bucket_start, event_type, n,
-       CAST(sv AS DOUBLE) AS v_sum,
-       CASE WHEN cv = 0 THEN NULL ELSE CAST(sv AS DOUBLE) / cv END AS v_avg,
-       CAST(mv AS DOUBLE) AS v_max
+       round(CAST(sv AS DOUBLE), 6) AS v_sum,
+       CASE WHEN cv = 0 THEN NULL
+            ELSE round(CAST(sv AS DOUBLE) / cv, 6) END AS v_avg,
+       round(CAST(mv AS DOUBLE), 6) AS v_max
 FROM l1
 UNION ALL
 SELECT CAST(3600.0 AS DOUBLE), bucket_start, event_type, n,
-       CAST(sv AS DOUBLE), CASE WHEN cv = 0 THEN NULL
-                                ELSE CAST(sv AS DOUBLE) / cv END,
-       CAST(mv AS DOUBLE)
+       round(CAST(sv AS DOUBLE), 6),
+       CASE WHEN cv = 0 THEN NULL
+            ELSE round(CAST(sv AS DOUBLE) / cv, 6) END,
+       round(CAST(mv AS DOUBLE), 6)
 FROM l2
 UNION ALL
 SELECT CAST(86400.0 AS DOUBLE), bucket_start, event_type, n,
-       CAST(sv AS DOUBLE), CASE WHEN cv = 0 THEN NULL
-                                ELSE CAST(sv AS DOUBLE) / cv END,
-       CAST(mv AS DOUBLE)
+       round(CAST(sv AS DOUBLE), 6),
+       CASE WHEN cv = 0 THEN NULL
+            ELSE round(CAST(sv AS DOUBLE) / cv, 6) END,
+       round(CAST(mv AS DOUBLE), 6)
 FROM l3
 """
 

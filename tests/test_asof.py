@@ -166,6 +166,26 @@ class TestEdges:
             }
             assert got[0] is None, d
 
+    def test_null_by_keys_never_match(self, spark):
+        """DuckDB ASOF `l.k = r.k` and pandas merge_asof never match
+        NULL keys to each other; the window partitioning must not
+        create a joinable NULL group."""
+        l = spark.createDataFrame(
+            [(0, None, _ts(10)), (1, "a", _ts(10))],
+            "id long, key string, ts timestamp",
+        )
+        r = spark.createDataFrame(
+            [(7, None, _ts(5)), (8, "a", _ts(5))],
+            "rid long, key string, ts timestamp",
+        )
+        for d, want in (("backward", 8), ("forward", None), ("nearest", 8)):
+            got = {
+                row["id"]: row["rid"]
+                for row in asof_join(l, r, on="ts", by="key", direction=d).collect()
+            }
+            assert got[0] is None, d  # NULL key stays unmatched
+            assert got[1] == want, d  # non-null key unaffected
+
     def test_null_right_on_dropped(self, spark):
         l = spark.createDataFrame([(0, "a", _ts(10))], "id long, key string, ts timestamp")
         r = spark.createDataFrame(
