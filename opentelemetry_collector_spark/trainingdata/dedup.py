@@ -23,7 +23,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import HASH_MOD, rolling_hash, tokens_col
+from .text import HASH_MOD, let_col, rolling_hash, tokens_col
 
 # ---------------------------------------------------------------------------
 # deterministic hash-family / hyperplane constants (shared with oracles)
@@ -174,16 +174,23 @@ def _keyed_persist(key: tuple, frame: DataFrame) -> DataFrame:
 
 def shingles_col(col: Column, k: int = MINHASH_K) -> Column:
     """Distinct k-token shingles; documents shorter than k tokens fall
-    back to one whole-text shingle so they still get a signature."""
-    toks = tokens_col(col)
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-    )
-    return F.array_distinct(
-        F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", toks)))
-    )
+    back to one whole-text shingle so they still get a signature.
+
+    The token array is let-bound (``let_col``) so tokenization runs
+    once per row — an outer-expression reference inside the window
+    lambda would re-split the text at every shingle position."""
+
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        grams = F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+        return F.array_distinct(
+            F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+        )
+
+    return let_col(tokens_col(col), body)
 
 
 def minhash_signature_from_shingles(
@@ -632,15 +639,19 @@ def chunk_hash_col(col: Column, width: int = CHUNK_WIDTH) -> Column:
     the chunk identity is engine-portable, same rationale as
     ``split_bucket``; the array is positional, not distinct — a chunk
     repeated WITHIN one document counts each occurrence."""
-    toks = tokens_col(col)
-    n_full = F.floor(F.size(toks) / width).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_full - 1),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * width + 1, width))),
-    )
-    return F.when(n_full >= 1, chunks).otherwise(
-        F.array().cast("array<string>")
-    )
+    def body(toks: Column) -> Column:
+        n_full = F.floor(F.size(toks) / width).cast("int")
+        chunks = F.transform(
+            F.sequence(F.lit(0), n_full - 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * width + 1, width))),
+        )
+        return F.when(n_full >= 1, chunks).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    # let-bound: tokenizing inside the chunk lambda would re-split the
+    # text once per chunk position (see text.let_col)
+    return let_col(tokens_col(col), body)
 
 
 def chunk_dedup_stats(
