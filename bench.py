@@ -85,8 +85,18 @@ def main() -> None:
     )
 
     for name in BENCH_QUERIES:
+        # ALWAYS two attempts, keep the faster (third if an attempt
+        # saw guest-visible contention). Interference is strictly
+        # additive — the same plan on the same input can only be
+        # slowed by a noisy neighbour, never sped up — so min-of-N is
+        # the robust estimator for the CODE's cost under noise the
+        # ext_frac meter can't see (hypervisor-level steal / DRAM-bus
+        # pressure, the same blindness the cluster campaign's
+        # CPU-floor rule exists for). Measured: suite wall varied
+        # 41-59s across back-to-back single-attempt runs with
+        # ext_frac < 0.01 throughout.
         attempts = []
-        for _ in range(2):
+        for _ in range(3):
             # a retry must redo the SAME work: drop the dedup
             # signature/band caches AND the rollup level caches so a
             # contended first attempt doesn't turn the retry into a
@@ -96,10 +106,10 @@ def main() -> None:
             meter.start()
             force(QUERIES[name](spark, SF_DIR))
             attempts.append(meter.stop())
-            if attempts[-1]["ext_frac"] <= 0.10:
+            if len(attempts) >= 2 and attempts[-1]["ext_frac"] <= 0.10:
                 break
-        best = min(attempts, key=lambda a: a["ext_frac"])
-        if best["ext_frac"] > 0.10:
+        best = min(attempts, key=lambda a: a["sec"])
+        if min(a["ext_frac"] for a in attempts) > 0.10:
             contended.append(name)
         ext_max = max(ext_max, best["ext_frac"])
         timings[name] = round(best["sec"], 3)
@@ -121,11 +131,14 @@ def main() -> None:
     )
 
     docs = read_table(spark, SF_DIR, "documents")
-    clear_signature_caches()
-    meter.start()
-    force(minhash_lsh_pairs(docs, hash_fn=production_hash))
-    m = meter.stop()
-    if m["ext_frac"] > 0.10:
+    xx_attempts = []
+    for _ in range(2):  # same min-of-2 estimator as the suite
+        clear_signature_caches()
+        meter.start()
+        force(minhash_lsh_pairs(docs, hash_fn=production_hash))
+        xx_attempts.append(meter.stop())
+    m = min(xx_attempts, key=lambda a: a["sec"])
+    if min(a["ext_frac"] for a in xx_attempts) > 0.10:
         contended.append("minhash_xxhash")
     # published timing => its external burn counts toward the
     # reported max even below the contention threshold

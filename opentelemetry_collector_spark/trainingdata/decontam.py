@@ -41,7 +41,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import overlap_report, shingles_col
-from .text import tokens_col
+from .text import ensure_compute_parallelism, tokens_col
 
 DEFAULT_DECONTAM_N = 8  # 8..13-token windows are the published range
 
@@ -113,7 +113,7 @@ def contamination(
     if short_widths == "auto":
         short_widths = eval_short_widths(eval_docs, n, text_col)
     ev = F.broadcast(eval_ngram_set(eval_docs, n, text_col))
-    ng = docs.select(
+    ng = ensure_compute_parallelism(docs).select(
         F.col(id_col), _train_grams(F.col(text_col), n, short_widths).alias("ngs")
     ).select(
         id_col,

@@ -23,7 +23,13 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import HASH_MOD, let_col, rolling_hash, tokens_col
+from .text import (
+    HASH_MOD,
+    ensure_compute_parallelism,
+    let_col,
+    rolling_hash,
+    tokens_col,
+)
 
 # ---------------------------------------------------------------------------
 # deterministic hash-family / hyperplane constants (shared with oracles)
@@ -97,7 +103,7 @@ def exact_dedup_clusters(df: DataFrame, text_col: str = "text", id_col: str = "d
     ``clusters.join(df, keep == id)`` — no second scan of text."""
     normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return (
-        df.withColumn("fp", F.md5(normalized))
+        ensure_compute_parallelism(df).withColumn("fp", F.md5(normalized))
         .groupBy("fp")
         .agg(
             F.min(id_col).alias("keep_id"),
@@ -343,7 +349,7 @@ def minhash_lsh_pairs(
     # (multi-referenced non-cheap expressions are not re-inlined by
     # CollapseProject)
     sigs = (
-        df.select(
+        ensure_compute_parallelism(df).select(
             F.col(id_col).alias("id"),
             shingles_col(F.col(text_col)).alias("sh"),
         )
@@ -432,7 +438,7 @@ def minhash_index(
     deterministic seeds, so an index built yesterday collides with
     today's batch exactly as a single batch run would."""
     sigs = (
-        df.select(
+        ensure_compute_parallelism(df).select(
             F.col(id_col).alias("id"),
             shingles_col(F.col(text_col)).alias("sh"),
         )
@@ -593,7 +599,7 @@ def simhash_exploded_bands(
     document's band 0 entirely."""
     width = bits // bands
     mask = (1 << width) - 1
-    sh = df.select(
+    sh = ensure_compute_parallelism(df).select(
         F.col(id_col).alias("id"),
         simhash(F.col(text_col), bits, hash_fn=hash_fn).alias("sh"),
     )
@@ -698,7 +704,7 @@ def ngram_jaccard_pairs(
     blocked by ``block_col`` (e.g. source) when given — at scale use
     ``minhash_lsh_pairs(jaccard_threshold=...)`` instead; the
     all-pairs path here exists for verification on small blocks."""
-    sh = df.select(
+    sh = ensure_compute_parallelism(df).select(
         F.col(id_col).alias("id"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
         shingles_col(F.col(text_col), k).alias("sh"),
@@ -807,7 +813,7 @@ def chunk_dedup_stats(
     exchange under AQE); the final groupBy(id) exchange carries at
     most one partially-aggregated row per affected document because a
     document's chunks are co-partitioned in its input split."""
-    ch = df.select(
+    ch = ensure_compute_parallelism(df).select(
         F.col(id_col),
         chunk_hash_col(F.col(text_col), width).alias("chs"),
     ).select(
@@ -866,6 +872,7 @@ def embedding_near_dup_pairs(
 
     if n_bits == "auto":
         n_bits = hyperplane_bits_for(df.count())
+    df = ensure_compute_parallelism(df)
     planes = make_hyperplanes(n_bits) if n_bits is not None else None
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     cos = F.round(

@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import HYPERPLANES, _dot
+from .text import ensure_compute_parallelism
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
@@ -44,7 +45,7 @@ def brute_force_topk(
     """Exact cosine top-k: scan → score → TakeOrderedAndProject.
     Deterministic tie-break by id."""
     q = _query_lit(query_vec)
-    scored = df.select(
+    scored = ensure_compute_parallelism(df).select(
         F.col(id_col),
         cosine_similarity(_as_double(vec_col), q).alias("cosine"),
     )
@@ -219,7 +220,7 @@ def ann_lsh_topk(
     q = _query_lit(query_vec)
     v = _as_double(vec_col)
     scored = (
-        df.withColumn("bucket", hyperplane_signature(v))
+        ensure_compute_parallelism(df).withColumn("bucket", hyperplane_signature(v))
         .filter(F.col("bucket").isin(*[int(c) for c in sorted(candidates)]))
         .select(F.col(id_col), cosine_similarity(v, q).alias("cosine"))
     )

@@ -40,6 +40,33 @@ LANG_ORDER = sorted(STOPWORDS)  # de, en, es, fr — deterministic tie-break
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+def ensure_compute_parallelism(df):
+    """Round-robin repartition a frame whose partition count is below
+    the session's default parallelism — guard for CPU-bound text
+    operators (per-char rolling hashes, shingle explodes) whose cost
+    is per ROW, not per byte.
+
+    Why: Spark splits file scans by BYTES (``maxPartitionBytes``), so
+    a corpus that is small on disk but expensive per row lands in one
+    split and the whole signature stage serializes on one core
+    (measured 4.3x on simhash pairs at sf0.1, whose documents table is
+    one 2 MB parquet row group). At production scale the scan has
+    thousands of splits and this returns the input unchanged — the
+    repartition only ever fires on under-split inputs, where the rows
+    it moves are few by construction. Row order changes, so callers
+    must be order-independent (every dedup/signature operator is;
+    sequence packing is NOT and must not use this)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if current >= target:
+        return df
+    return df.repartition(target)
+
+
 def let_col(col: Column, body) -> Column:
     """Let-binding for Column expressions: evaluate ``col`` ONCE and
     pass it to ``body`` as a bound lambda variable.
