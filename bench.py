@@ -106,7 +106,7 @@ def main() -> None:
             meter.start()
             force(QUERIES[name](spark, SF_DIR))
             attempts.append(meter.stop())
-            if len(attempts) >= 2 and attempts[-1]["ext_frac"] <= 0.10:
+            if sum(a["ext_frac"] <= 0.10 for a in attempts) >= 2:
                 break
         best = min(attempts, key=lambda a: a["sec"])
         if min(a["ext_frac"] for a in attempts) > 0.10:

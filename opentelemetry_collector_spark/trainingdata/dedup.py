@@ -252,6 +252,44 @@ def lsh_band_keys(sig: Column, bands: int = MINHASH_BANDS, rows: int = MINHASH_R
     )
 
 
+def _signature_frame(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    hash_fn,
+    cache_signatures: bool,
+) -> DataFrame:
+    """(id, sh, bands) signature table — the ONE staging path shared by
+    batch ``minhash_lsh_pairs`` and the incremental ``minhash_index``:
+    the incremental parity law (index ∪ batch collides exactly like a
+    single batch run) requires the two to stay bit-identical, so they
+    must not drift as separate copies.
+
+    The shingle array is staged as a real column so the signature
+    references it instead of re-deriving tokens/shingles per use
+    (multi-referenced non-cheap expressions are not re-inlined by
+    CollapseProject). With ``cache_signatures`` the frame is persisted
+    under a keyed FIFO — the result DataFrame must stay lazy, so the
+    caller can't unpersist for us: same input + knobs reuses the
+    already-persisted table, a DIFFERENT concurrent pipeline gets its
+    own entry (never evicting another's mid-flight), and the bound
+    stops repeated invocations from accumulating executor storage."""
+    sigs = (
+        ensure_compute_parallelism(df).select(
+            F.col(id_col).alias("id"),
+            shingles_col(F.col(text_col)).alias("sh"),
+        )
+        .select(
+            "id", "sh",
+            minhash_signature_from_shingles(F.col("sh"), hash_fn=hash_fn).alias("sig"),
+        )
+        .select("id", "sh", lsh_band_keys(F.col("sig")).alias("bands"))
+    )
+    if cache_signatures:
+        sigs = _keyed_persist(("sigs", _plan_key(df), text_col, id_col, hash_fn), sigs)
+    return sigs
+
+
 def _cap_hot_buckets(
     exploded: DataFrame,
     limit: int | None,
@@ -344,29 +382,7 @@ def minhash_lsh_pairs(
     the per-document hashing (3× wall-time on measurement); on a real
     warehouse you would checkpoint the signature table instead.
     """
-    # stage the shingle array as a real column so the signature
-    # references it instead of re-deriving tokens/shingles per use
-    # (multi-referenced non-cheap expressions are not re-inlined by
-    # CollapseProject)
-    sigs = (
-        ensure_compute_parallelism(df).select(
-            F.col(id_col).alias("id"),
-            shingles_col(F.col(text_col)).alias("sh"),
-        )
-        .select(
-            "id", "sh",
-            minhash_signature_from_shingles(F.col("sh"), hash_fn=hash_fn).alias("sig"),
-        )
-        .select("id", "sh", lsh_band_keys(F.col("sig")).alias("bands"))
-    )
-    if cache_signatures:
-        # the result DataFrame must stay lazy, so the caller can't
-        # unpersist for us: keep a small keyed FIFO — same input +
-        # knobs reuses the already-persisted signature table, a
-        # DIFFERENT concurrent pipeline gets its own entry (never
-        # evicting another's mid-flight), and the bound stops
-        # repeated invocations from accumulating executor storage
-        sigs = _keyed_persist(("sigs", _plan_key(df), text_col, id_col, hash_fn), sigs)
+    sigs = _signature_frame(df, text_col, id_col, hash_fn, cache_signatures)
     # Persist the capped (id, band) frame too (capped mode only): the
     # self-join's two sides otherwise EACH pay the band-key window
     # exchange — Spark does not reuse the exchange across join sides.
@@ -434,24 +450,11 @@ def minhash_index(
     then needs no shuffle on the index side at all (a bucketed scan
     co-locates with the new batch's exchange), which is what makes
     per-ingest dedup cost scale with the INGEST, not the corpus.
-    Signature arithmetic is identical to ``minhash_lsh_pairs`` —
-    deterministic seeds, so an index built yesterday collides with
-    today's batch exactly as a single batch run would."""
-    sigs = (
-        ensure_compute_parallelism(df).select(
-            F.col(id_col).alias("id"),
-            shingles_col(F.col(text_col)).alias("sh"),
-        )
-        .select(
-            "id", "sh",
-            minhash_signature_from_shingles(F.col("sh"), hash_fn=hash_fn).alias("sig"),
-        )
-        .select("id", "sh", lsh_band_keys(F.col("sig")).alias("bands"))
-    )
-    if cache_signatures:
-        sigs = _keyed_persist(
-            ("sigs", _plan_key(df), text_col, id_col, hash_fn), sigs
-        )
+    Signature arithmetic is identical to ``minhash_lsh_pairs`` — the
+    two share ``_signature_frame`` (one code path, one cache key), so
+    an index built yesterday collides with today's batch exactly as a
+    single batch run would."""
+    sigs = _signature_frame(df, text_col, id_col, hash_fn, cache_signatures)
     bands = sigs.select("id", F.posexplode("bands").alias("band_idx", "band_key"))
     shingles = sigs.select("id", "sh")
     return bands, shingles
@@ -504,11 +507,27 @@ def minhash_lsh_pairs_incremental(
     relevant_index = index_bands.join(
         touched, ["band_idx", "band_key"], "left_semi"
     ).withColumn("_new", F.lit(False))
+    # Persist the capped combined frame: BOTH candidate-join sides
+    # reference it, and Spark does not reuse the semi-join + union +
+    # band-key window exchange across join sides (same reason the
+    # batch path persists its capped bands) — without it every ingest
+    # pays the corpus prune and cap shuffle twice.
+    combined_key = None
+    if cache_signatures:
+        combined_key = (
+            "incr-combined", _plan_key(new_df), _plan_key(index_bands),
+            text_col, id_col, hash_fn, hot_bucket_limit,
+        )
     combined = _cap_hot_buckets(
         relevant_index.unionByName(tagged_new),
         hot_bucket_limit,
         observe_name="incremental_hot_bucket_cap",
+        persist_key=combined_key,
     )
+    if hot_bucket_limit is None and combined_key is not None:
+        # uncapped mode skips _cap_hot_buckets' persist path but the
+        # frame is still referenced by both join sides
+        combined = _keyed_persist(combined_key, combined)
     new_side = combined.filter(F.col("_new")).select(
         F.col("id").alias("id_n"), "band_idx", "band_key"
     )

@@ -56,9 +56,10 @@ def ensure_compute_parallelism(df):
     it moves are few by construction. Row order changes, so callers
     must be order-independent (every dedup/signature operator is;
     sequence packing is NOT and must not use this)."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
     try:
+        # sparkContext/rdd raise on Spark Connect — degrade to the
+        # unchanged frame there (same fallback stance as _plan_key)
+        target = df.sparkSession.sparkContext.defaultParallelism
         current = df.rdd.getNumPartitions()
     except Exception:
         return df

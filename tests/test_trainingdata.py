@@ -2,6 +2,8 @@
 embedding), similarity search, text analysis, multimodal plumbing.
 Goldens are computed with independent pure-Python implementations."""
 
+import re
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -254,7 +256,19 @@ class TestIncrementalMinHash:
             new, bands, shingles, cache_signatures=False
         )
         plan = out._jdf.queryExecution().optimizedPlan().toString()
-        assert "LeftSemi" in plan, plan
+        # Structural shape (unpersisted mode duplicates the combined
+        # subtree once per candidate-join side, hence 2 semis): the
+        # prune must be present on BOTH legs, the join census must be
+        # exactly prune×2 + candidate + two shingle verifies, and —
+        # the discriminating fact — a Filter on the _new tag must
+        # survive (it cannot push through the cap window). A
+        # reintroduced corpus self-join (all_side × all_side) keeps
+        # the semi nodes and the join count but LOSES the _new
+        # filter, since neither side would restrict to the new batch.
+        assert plan.count("Join LeftSemi") == 2, plan
+        n_joins = len(re.findall(r"\bJoin (Inner|LeftSemi)\b", plan))
+        assert n_joins == 5, f"expected 5 joins, got {n_joins}:\n{plan}"
+        assert re.search(r"Filter [^\n]*_new", plan), plan
 
 
 class TestSimHash:
