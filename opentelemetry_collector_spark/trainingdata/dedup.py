@@ -125,7 +125,7 @@ from collections import OrderedDict
 
 _SIG_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
 _SIG_CACHE_LOCK = threading.Lock()
-_SIG_CACHE_MAX = 8  # two entries (signatures + capped bands) per input
+_SIG_CACHE_MAX = 12  # up to three entries (bands + pairs + cand-sh) per input
 
 
 def _plan_key(df: DataFrame):
@@ -374,37 +374,58 @@ def minhash_lsh_pairs(
     (id_a < id_b), verified with exact shingle-set Jaccard computed
     only for bucket collisions.
 
-    Shuffle layout (the part that matters at 10^9 docs): the band
-    self-join moves only (id, band_key) — never the shingle arrays;
-    the heavy shingle payload joins in AFTER dedup, touching exactly
-    the surviving candidate pairs. ``cache_signatures`` persists the
-    signature table so the self-join's two sides don't each recompute
-    the per-document hashing (3× wall-time on measurement); on a real
-    warehouse you would checkpoint the signature table instead.
-    """
-    sigs = _signature_frame(df, text_col, id_col, hash_fn, cache_signatures)
-    # Persist the capped (id, band) frame too (capped mode only): the
-    # self-join's two sides otherwise EACH pay the band-key window
-    # exchange — Spark does not reuse the exchange across join sides.
-    # The frame is ~24 B/row × bands, the cheapest thing in the whole
-    # plan to hold. The persist sits BELOW the observe (see
-    # _cap_hot_buckets) so `at_cap_buckets` still fires on cache hits.
-    # Skipped when the caller binds an explicit Observation (one-shot
-    # objects) and when uncapped — uncapped, the posexplode over the
-    # already-persisted sigs has no window shuffle to deduplicate.
+    Shuffle + storage layout (the part that matters at 10^9 docs):
+    the band self-join moves only (id, band_key) — never the shingle
+    arrays — and the ONLY thing ever persisted is that skinny
+    (id, band_idx, band_key) frame (~24 B/row × bands). The heavy
+    shingle payload is re-derived AFTER candidate dedup for exactly
+    the surviving candidate ids, via a broadcast semi-join back into
+    the source table: the candidate set is bounded (hot-bucket cap ⇒
+    ≤ limit × buckets-touched ids, in practice a vanishing fraction
+    of the corpus), so one extra pruned scan of (id, text) beats
+    materializing O(corpus) shingle arrays — which at 100 TB cannot
+    fit storage and would spill, i.e. write AND re-read the corpus
+    anyway. ``cache_signatures`` keyed-persists the skinny band frame
+    (so the self-join's two sides don't each recompute per-document
+    hashing — 3× wall on measurement), the deduped pair list, and the
+    candidate shingle table (so the verify's two sides share one
+    source scan); on a real warehouse the band frame is the stored
+    index (see ``minhash_index``) instead."""
+    sigs = _signature_frame(df, text_col, id_col, hash_fn, cache_signatures=False)
+    caching = cache_signatures and cap_observation is None
+    band_arrays = sigs.select("id", "bands")
+    if caching:
+        # Persist the compact (id, bands-array) frame BEFORE the
+        # explode: Generate re-evaluates its generator input per
+        # emitted row, so exploding the raw expression re-runs the
+        # whole shingle→signature→band chain ~bands× (measured 3-4×
+        # warm at sf0.1); exploding from the cached arrays makes the
+        # hashing exactly one pass. 8 short strings/doc — skinny.
+        band_arrays = _keyed_persist(
+            ("minhash-bands", _plan_key(df), text_col, id_col, hash_fn),
+            band_arrays,
+        )
+    # The capped-frame persist sits BELOW the observe (see
+    # _cap_hot_buckets) so `at_cap_buckets` still fires on cache
+    # hits. Skipped when the caller binds an explicit Observation
+    # (one-shot objects).
     persist_key = None
-    if cache_signatures and cap_observation is None and hot_bucket_limit is not None:
+    if caching:
         persist_key = (
             "minhash-exploded", _plan_key(df), text_col, id_col, hash_fn,
             hot_bucket_limit,
         )
     exploded = _cap_hot_buckets(
-        sigs.select("id", F.posexplode("bands").alias("band_idx", "band_key")),
+        band_arrays.select("id", F.posexplode("bands").alias("band_idx", "band_key")),
         hot_bucket_limit,
         observation=cap_observation,
         observe_name="minhash_hot_bucket_cap",
         persist_key=persist_key,
     )
+    if hot_bucket_limit is None and persist_key is not None:
+        # uncapped mode bypasses _cap_hot_buckets' persist but the
+        # frame is still read by both self-join sides
+        exploded = _keyed_persist(persist_key, exploded)
     left = exploded.select(F.col("id").alias("id_a"), "band_idx", "band_key")
     right = exploded.select(F.col("id").alias("id_b"), "band_idx", "band_key")
     pairs = (
@@ -413,7 +434,40 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh_tbl = sigs.select("id", "sh")
+    # Candidate ids WITHOUT re-running the pair join: a doc is a pair
+    # endpoint iff it sits in a band bucket with >= 2 members (every
+    # member of a multi-member bucket pairs with every other member,
+    # so bucket-based and pair-based endpoint sets are EQUAL). The
+    # bucket-count window runs over the persisted capped frame, whose
+    # cached partitioning is already hash(band_idx, band_key) from
+    # the cap window — no new exchange. Deriving candidates this way
+    # (instead of from `pairs`) keeps the band self-join single-
+    # execution without persisting `pairs`, which would bury the
+    # at_cap_buckets CollectMetrics inside a cache and silence the
+    # cap's recall-loss signal after the first invocation
+    # (test_cap_metric_survives_cache_hit).
+    from pyspark.sql.window import Window
+
+    bucket_n = F.count(F.lit(1)).over(
+        Window.partitionBy("band_idx", "band_key")
+    )
+    cand_ids = (
+        exploded.withColumn("_n", bucket_n)
+        .filter(F.col("_n") > 1)
+        .select("id")
+        .dropDuplicates()
+    )
+    sh_tbl = (
+        df.join(F.broadcast(cand_ids), F.col(id_col) == cand_ids["id"], "left_semi")
+        .select(F.col(id_col).alias("id"), shingles_col(F.col(text_col)).alias("sh"))
+    )
+    if caching:
+        # referenced twice (verify side a / side b): one source scan
+        sh_tbl = _keyed_persist(
+            ("minhash-cand-sh", _plan_key(df), text_col, id_col, hash_fn,
+             hot_bucket_limit),
+            sh_tbl,
+        )
     verified = (
         pairs.join(sh_tbl.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh_tbl.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
