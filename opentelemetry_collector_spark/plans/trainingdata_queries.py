@@ -1166,6 +1166,119 @@ GROUP BY ch.doc_id, ch.n_chunks
 """
 
 
+def q_td_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-selection matrix: the train/val/test split
+    summary and the stratified-sample summary as one tagged union
+    (`case` = 'split' | 'sample') — two components, one driver row,
+    holding the 50-row correctness budget. Each half is the SAME
+    frame its standalone query produced; sample rows carry -1 for the
+    bucket-range columns the split half owns."""
+    split = q_td_split_assign(spark, sf_dir).select(
+        F.lit("split").alias("case"),
+        F.col("split").alias("grp"),
+        "n", "sum_id", "min_bucket", "max_bucket",
+    )
+    sample = q_td_stratified_sample(spark, sf_dir).select(
+        F.lit("sample").alias("case"),
+        F.col("lang").alias("grp"),
+        F.col("n_kept").alias("n"),
+        "sum_id",
+        F.lit(-1).cast("long").alias("min_bucket"),
+        F.lit(-1).cast("long").alias("max_bucket"),
+    )
+    return split.unionByName(sample)
+
+
+def _oracle_td_selection() -> str:
+    return f"""
+WITH split_side AS ({_oracle_td_split_assign()}),
+sample_side AS ({_oracle_td_stratified_sample()})
+SELECT 'split' AS "case", split AS grp, n, sum_id, min_bucket, max_bucket
+FROM split_side
+UNION ALL
+SELECT 'sample', lang, n_kept, sum_id,
+       CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+FROM sample_side
+"""
+
+
+# perplexity-bucket edges for the driver query: chosen so head /
+# middle / tail are all non-empty on every sf corpus (score medians
+# sit at ~30.2-30.6 across sf0.001/0.01/0.1)
+_PPL_EDGES = (30.0, 31.0)
+
+
+def q_td_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (trainingdata.lm, Wenzek et al.
+    2020): train an add-one bigram model on the deterministic 'train'
+    split of the corpus (assign_split, bucket < 8000 — no leakage
+    from val/test), score EVERY document's perplexity under it, and
+    bucket head/middle/tail on fixed edges. The oracle retrains the
+    identical model in DuckDB from the same parquet — exact integer
+    counts, per-term ln rounded to 12 dp, position-ordered sequential
+    fold — so the full score, not a summary, is hash-compared."""
+    from ..trainingdata import assign_split, perplexity_buckets, train_bigram_lm
+
+    _register(spark, sf_dir, "documents")
+    d = spark.table("documents")
+    train = d.filter(
+        assign_split(
+            F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}
+        ) == "train"
+    )
+    lm = train_bigram_lm(train)
+    return perplexity_buckets(d, lm, edges=_PPL_EDGES).select(
+        "id", "n_bigrams", "ppl", "bucket"
+    )
+
+
+def _oracle_td_perplexity() -> str:
+    lo, hi = _PPL_EDGES
+    ppl = "round(exp(-a.total / a.n_bigrams), 6)"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+), train AS (
+  SELECT doc_id, tk FROM toks
+  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+          % 10000 < 8000
+), uni AS (
+  SELECT u.w AS w, count(*) AS c1 FROM train, unnest(tk) AS u(w) GROUP BY 1
+), vs AS (
+  SELECT count(*) + 1 AS v FROM uni
+), big AS (
+  SELECT tk[g.i] AS w1, tk[g.i + 1] AS w2, count(*) AS c12
+  FROM train, unnest(generate_series(1, len(tk) - 1)) AS g(i)
+  GROUP BY 1, 2
+), pos AS (
+  SELECT doc_id, g.i AS i, tk[g.i] AS w1, tk[g.i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(tk) - 1)) AS g(i)
+), terms AS (
+  SELECT p.doc_id, p.i,
+         round(ln((CAST(coalesce(b.c12, 0) AS DOUBLE) + 1.0) /
+                  (CAST(coalesce(u.c1, 0) AS DOUBLE)
+                   + 1.0 * CAST(vs.v AS DOUBLE))), 12) AS t
+  FROM pos p
+  LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+  LEFT JOIN uni u ON u.w = p.w1
+  CROSS JOIN vs
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(t ORDER BY i)),
+                     (acc, x) -> acc + x) AS total
+  FROM terms GROUP BY doc_id
+)
+SELECT d.doc_id AS id,
+       CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CASE WHEN a.n_bigrams > 0 THEN {ppl} END AS ppl,
+       CASE WHEN a.n_bigrams IS NULL OR a.n_bigrams = 0 THEN 'unscored'
+            WHEN {ppl} <= {lo} THEN 'head'
+            WHEN {ppl} <= {hi} THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM toks d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 TD_QUERIES = {
     "td_minhash_lsh_pairs": q_td_minhash_lsh_pairs,
     "td_simhash": q_td_simhash,
@@ -1180,9 +1293,9 @@ TD_QUERIES = {
     "td_pii": q_td_pii,
     "td_media_features": q_td_media_features,
     "td_media_decode": q_td_media_decode,
-    "td_split_assign": q_td_split_assign,
+    "td_selection": q_td_selection,
     "td_dup_components": q_td_dup_components,
-    "td_stratified_sample": q_td_stratified_sample,
+    "td_perplexity": q_td_perplexity,
     "td_repetition": q_td_repetition,
     "td_pack": q_td_pack,
 }
@@ -1201,9 +1314,9 @@ TD_ORACLES = {
     "td_pii": _oracle_td_pii(),
     "td_media_features": _oracle_td_media_features(),
     "td_media_decode": _oracle_td_media_decode(),
-    "td_split_assign": _oracle_td_split_assign(),
+    "td_selection": _oracle_td_selection(),
     "td_dup_components": _oracle_td_dup_components(),
-    "td_stratified_sample": _oracle_td_stratified_sample(),
+    "td_perplexity": _oracle_td_perplexity(),
     "td_repetition": _oracle_td_repetition(),
     "td_pack": _oracle_td_pack(),
 }

@@ -34,6 +34,13 @@ from .repetition import (
     repetition_metrics_py,
     gopher_repetition_filter,
 )
+from .lm import (
+    LM_ALPHA,
+    train_bigram_lm,
+    perplexity,
+    perplexity_buckets,
+    perplexity_filter,
+)
 from .decontam import (
     DEFAULT_DECONTAM_N,
     eval_ngram_set,

@@ -630,13 +630,16 @@ def simhash(col: Column, bits: int = SIMHASH_BITS, hash_fn=None) -> Column:
     powers = F.array(*[F.lit(2 ** b).cast("long") for b in range(bits)])
     init = F.array(*[F.lit(0).cast("long")] * bits)
     # one pass: fold every token hash into all `bits` vote counters
-    # ((x div 2^b) % 2) extracts bit b — long division is exact here
-    # since hashes < 2^31 are exactly representable as doubles
+    # (x & 2^b) extracts bit b — pure integer bitwise ops (hashes are
+    # non-negative), no float division in the per-token inner loop
     votes = F.aggregate(
         th,
         init,
         lambda acc, x: F.zip_with(
-            acc, powers, lambda c, p: c + (((x / p).cast("long") % 2) * 2 - 1)
+            acc,
+            powers,
+            lambda c, p: c
+            + F.when(x.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(-1)),
         ),
     )
     return F.aggregate(

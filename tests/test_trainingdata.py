@@ -1124,3 +1124,124 @@ class TestIvf:
         wide = {r["vec_id"] for r in ivf_topk(vectors, q, centroids, k=5, nprobe=4).collect()}
         # probing every cluster == brute force
         assert wide == set(exact)
+
+
+class TestPerplexityLM:
+    """CCNet-style bigram-LM perplexity (trainingdata.lm)."""
+
+    REF = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat on the mat again"),
+    ]
+    ALL = REF + [
+        (2, "zqx glorp fnord blip"),   # fully OOV
+        (3, "single"),                  # no bigrams
+        (4, ""),                        # empty
+        (5, "the cat sat on the mat"),  # exact dup of a ref doc
+    ]
+
+    @pytest.fixture()
+    def frames(self, spark):
+        from opentelemetry_collector_spark.trainingdata import train_bigram_lm
+
+        docs = spark.createDataFrame(self.ALL, ["doc_id", "text"])
+        ref = docs.filter(F.col("doc_id") <= 1)
+        return docs, train_bigram_lm(ref)
+
+    @staticmethod
+    def py_ppl(text: str, ref_texts: list[str]) -> float | None:
+        """Independent Python reference of the exact model arithmetic."""
+        import math
+        from collections import Counter
+
+        uni, big = Counter(), Counter()
+        for t in ref_texts:
+            toks = t.strip().lower().split()
+            uni.update(toks)
+            big.update(zip(toks, toks[1:]))
+        v = len(uni) + 1
+        toks = text.strip().lower().split()
+        pairs = list(zip(toks, toks[1:]))
+        if not pairs:
+            return None
+        total = 0.0
+        for w1, w2 in pairs:
+            p = (big[(w1, w2)] + 1.0) / (uni[w1] + 1.0 * v)
+            total += round(math.log(p), 12)
+        return round(math.exp(-total / len(pairs)), 6)
+
+    def test_matches_python_reference(self, frames):
+        from opentelemetry_collector_spark.trainingdata import perplexity
+
+        docs, lm = frames
+        got = {r["id"]: (r["n_bigrams"], r["ppl"])
+               for r in perplexity(docs, lm).collect()}
+        ref_texts = [t for _, t in self.REF]
+        for doc_id, text in self.ALL:
+            toks = text.split()
+            want_n = max(len(toks) - 1, 0)
+            assert got[doc_id][0] == want_n, doc_id
+            assert got[doc_id][1] == self.py_ppl(text, ref_texts), doc_id
+
+    def test_oov_doc_scores_vocab_size(self, frames):
+        """Every bigram of a fully-OOV doc has p = 1/V, so its
+        perplexity is exactly V — an exact-arithmetic invariant."""
+        from opentelemetry_collector_spark.trainingdata import perplexity
+
+        docs, lm = frames
+        v = lm["stats"].collect()[0]["v"]
+        row = {r["id"]: r for r in perplexity(docs, lm).collect()}[2]
+        assert row["ppl"] == float(v)
+
+    def test_in_domain_scores_below_oov(self, frames):
+        from opentelemetry_collector_spark.trainingdata import perplexity
+
+        docs, lm = frames
+        ppl = {r["id"]: r["ppl"] for r in perplexity(docs, lm).collect()}
+        assert ppl[0] < ppl[2] and ppl[5] == ppl[0]
+
+    def test_buckets_and_filter(self, frames):
+        from opentelemetry_collector_spark.trainingdata import (
+            perplexity_buckets, perplexity_filter,
+        )
+
+        docs, lm = frames
+        b = {r["id"]: r["bucket"]
+             for r in perplexity_buckets(docs, lm, edges=(6.0, 12.0)).collect()}
+        assert b[0] == "head" and b[2] == "middle"
+        assert b[3] == "unscored" and b[4] == "unscored"
+        kept = {r["doc_id"]
+                for r in perplexity_filter(docs, lm, 6.0).collect()}
+        assert kept == {0, 1, 5}
+        with_unscored = {r["doc_id"] for r in perplexity_filter(
+            docs, lm, 6.0, keep_unscored=True).collect()}
+        assert with_unscored == {0, 1, 3, 4, 5}
+
+    def test_min_count_prunes_bigram_table_only(self, spark):
+        """Pruned bigrams fall back to the unseen estimate; unigram
+        denominators never shift."""
+        from opentelemetry_collector_spark.trainingdata import (
+            perplexity, train_bigram_lm,
+        )
+
+        docs = spark.createDataFrame(self.ALL, ["doc_id", "text"])
+        ref = docs.filter(F.col("doc_id") <= 1)
+        full = train_bigram_lm(ref)
+        pruned = train_bigram_lm(ref, min_count=2)
+        assert pruned["bigrams"].count() < full["bigrams"].count()
+        p_full = {r["id"]: r["ppl"] for r in perplexity(docs, full).collect()}
+        p_pruned = {r["id"]: r["ppl"] for r in perplexity(docs, pruned).collect()}
+        # OOV doc unaffected; the doc holding the pruned singleton
+        # bigram ("mat again", count 1) scores worse but stays scored
+        assert p_pruned[2] == p_full[2]
+        assert p_pruned[1] > p_full[1]
+
+    def test_scoring_plan_broadcasts_the_lm(self, spark, frames):
+        """The LM tables must reach the scoring join as broadcasts —
+        the corpus side never shuffles on words at 10^12 tokens."""
+        from opentelemetry_collector_spark.trainingdata import perplexity
+
+        docs, lm = frames
+        plan = perplexity(docs, lm)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastHashJoin") >= 2, plan
+        assert "SortMergeJoin" not in plan, plan
