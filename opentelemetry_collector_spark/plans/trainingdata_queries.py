@@ -1233,7 +1233,10 @@ def q_td_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_td_perplexity() -> str:
+    from ..trainingdata import LM_ALPHA
+
     lo, hi = _PPL_EDGES
+    a = float(LM_ALPHA)
     ppl = "round(exp(-a.total / a.n_bigrams), 6)"
     return f"""
 WITH toks AS (
@@ -1255,9 +1258,9 @@ WITH toks AS (
   FROM toks, unnest(generate_series(1, len(tk) - 1)) AS g(i)
 ), terms AS (
   SELECT p.doc_id, p.i,
-         round(ln((CAST(coalesce(b.c12, 0) AS DOUBLE) + 1.0) /
+         round(ln((CAST(coalesce(b.c12, 0) AS DOUBLE) + {a}) /
                   (CAST(coalesce(u.c1, 0) AS DOUBLE)
-                   + 1.0 * CAST(vs.v AS DOUBLE))), 12) AS t
+                   + {a} * CAST(vs.v AS DOUBLE))), 12) AS t
   FROM pos p
   LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
   LEFT JOIN uni u ON u.w = p.w1

@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import tokens_col
+from .text import ensure_compute_parallelism, let_col, tokens_col
 
 # add-one (Laplace) smoothing; exposed for the SQL oracle
 LM_ALPHA = 1
@@ -52,22 +52,31 @@ DEFAULT_BUCKETS = (60.0, 120.0)
 
 def _bigrams_col(col: Column) -> Column:
     """Array of (pos, w1, w2) structs for the document's token
-    stream; empty for docs with fewer than 2 tokens."""
-    toks = tokens_col(col)
-    n = F.size(toks)
-    # guard BEFORE building the sequence: F.sequence(1, 0) yields the
-    # DESCENDING [1, 0], whose element_at(toks, 0) throws under ANSI
-    positions = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(
-        positions,
-        lambda i: F.struct(
-            i.alias("pos"),
-            F.element_at(toks, i).alias("w1"),
-            F.element_at(toks, i + 1).alias("w2"),
-        ),
-    )
+    stream; empty for docs with fewer than 2 tokens.
+
+    The token array is let-bound so tokenization runs once per row —
+    an outer-expression reference inside the transform lambda would
+    re-split the text at every bigram position (the O(tokens²)
+    pattern ``text.let_col`` exists for)."""
+
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        # guard BEFORE building the sequence: F.sequence(1, 0) yields
+        # the DESCENDING [1, 0], whose element_at(toks, 0) throws
+        # under ANSI
+        positions = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            positions,
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        )
+
+    return let_col(tokens_col(col), body)
 
 
 def train_bigram_lm(
@@ -85,6 +94,7 @@ def train_bigram_lm(
     runs. ``min_count`` prunes rare BIGRAMS from the broadcast table
     (their probability falls back to the unseen-bigram estimate);
     unigram counts are kept exact so the denominator never shifts."""
+    ref_docs = ensure_compute_parallelism(ref_docs)
     toks = ref_docs.select(F.explode(tokens_col(F.col(text_col))).alias("w"))
     unigrams = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
     big = ref_docs.select(
@@ -115,7 +125,7 @@ def perplexity(
     filter or keep them by policy, not by a fake score).
 
     Output: (id, n_bigrams, ppl) with ppl rounded to 6 dp."""
-    exploded = docs.select(
+    exploded = ensure_compute_parallelism(docs).select(
         F.col(id_col).alias("id"),
         F.explode_outer(_bigrams_col(F.col(text_col))).alias("b"),
     ).select(

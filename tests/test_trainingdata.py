@@ -1154,6 +1154,9 @@ class TestPerplexityLM:
         import math
         from collections import Counter
 
+        from opentelemetry_collector_spark.trainingdata import LM_ALPHA
+
+        a = float(LM_ALPHA)
         uni, big = Counter(), Counter()
         for t in ref_texts:
             toks = t.strip().lower().split()
@@ -1166,7 +1169,7 @@ class TestPerplexityLM:
             return None
         total = 0.0
         for w1, w2 in pairs:
-            p = (big[(w1, w2)] + 1.0) / (uni[w1] + 1.0 * v)
+            p = (big[(w1, w2)] + a) / (uni[w1] + a * v)
             total += round(math.log(p), 12)
         return round(math.exp(-total / len(pairs)), 6)
 
@@ -1245,3 +1248,39 @@ class TestPerplexityLM:
         plan = perplexity(docs, lm)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("BroadcastHashJoin") >= 2, plan
         assert "SortMergeJoin" not in plan, plan
+
+    def test_random_corpora_match_python(self, spark):
+        """Seeded random corpora over a small vocabulary: Spark scores
+        must equal the independent Python model doc-for-doc (exercises
+        smoothing, OOV mixes, repeated bigrams, and 0/1-token docs)."""
+        import random
+
+        from opentelemetry_collector_spark.trainingdata import (
+            perplexity, train_bigram_lm,
+        )
+
+        rng = random.Random(1234)
+        vocab = [f"w{i}" for i in range(12)]
+        for corpus_idx in range(3):
+            ref_texts = [
+                " ".join(rng.choices(vocab, k=rng.randint(2, 30)))
+                for _ in range(8)
+            ]
+            score_texts = [
+                " ".join(
+                    rng.choices(vocab + ["oovA", "oovB"], k=rng.randint(0, 25))
+                )
+                for _ in range(12)
+            ]
+            ref = spark.createDataFrame(
+                list(enumerate(ref_texts)), ["doc_id", "text"]
+            )
+            docs = spark.createDataFrame(
+                list(enumerate(score_texts)), ["doc_id", "text"]
+            )
+            got = {r["id"]: r["ppl"]
+                   for r in perplexity(docs, train_bigram_lm(ref)).collect()}
+            for i, text in enumerate(score_texts):
+                assert got[i] == self.py_ppl(text, ref_texts), (
+                    corpus_idx, i, text
+                )
