@@ -180,6 +180,13 @@ class Unpacker:
         out = {}
         for _ in range(n):
             k = self.unpack()
+            # wire-legal but container-keyed maps (array/map/ext keys)
+            # have no Python-dict representation; keep the codec's
+            # single-exception contract (ValueError, not TypeError)
+            if isinstance(k, (list, dict, Ext)):
+                raise ValueError(
+                    f"unsupported msgpack map key type {type(k).__name__}"
+                )
             out[k] = self.unpack()
         return out
 

@@ -1064,16 +1064,27 @@ def q_streaming_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch SQL is a valid oracle (the invariant the reference's
     receiver→batch-processor path guarantees regardless of arrival
     batching, batch_processor.go:115-171)."""
+    import hashlib
+    import shutil
     import tempfile
+    import os
 
     from ..streaming.pipeline import stream_transcripts, streaming_windowed_counts
 
     t = _derive_transcripts(spark, sf_dir)
-    src_dir = tempfile.mkdtemp(prefix="otelcol_stream_src_")
+    # deterministic per-sf scratch dirs, wiped on entry: repeated
+    # correctness passes REUSE the same paths instead of leaking one
+    # parquet copy of the transcripts + one checkpoint per invocation
+    # into the temp dir (a multi-pass campaign would fill the disk)
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"otelcol_stream_parity_{key}")
+    src_dir = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(src_dir, exist_ok=True)
     t.select("conv_id", "turn_idx", "role", "text", "tool", "ts").write.mode(
         "overwrite"
     ).parquet(src_dir)
-    ckpt = tempfile.mkdtemp(prefix="otelcol_stream_ckpt_")
     src = stream_transcripts(spark, src_dir, max_files_per_trigger=8)
     q = (
         streaming_windowed_counts(src)

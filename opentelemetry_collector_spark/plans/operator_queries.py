@@ -20,6 +20,17 @@ from pyspark.sql import functions as F
 
 from .shared_sql import _TRANSCRIPTS_FROM_EVENTS, _derive_transcripts, _register
 
+# bounded keyed persist (FIFO, unpersists evictees): the wire-matrix
+# queries fan one source frame out to every codec and must cache it,
+# but a bare .persist() per invocation would accumulate one orphaned
+# cached copy per correctness pass — the exact leak the dedup module's
+# keyed pool exists to bound, so reuse it
+from ..trainingdata.dedup import _keyed_persist, _plan_key
+
+
+def _matrix_src(tag: str, frame: DataFrame) -> DataFrame:
+    return _keyed_persist(("wire-src", tag, _plan_key(frame)), frame)
+
 # ---------------------------------------------------------------------------
 # shared SQL fragments
 # ---------------------------------------------------------------------------
@@ -700,10 +711,14 @@ def q_span_wire_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
     table → wire → back must be the identity per format. The spans
     frame is persisted once and fans out to every codec, so the ten
     branches share one parse instead of re-deriving it."""
-    sp = _spans(spark, sf_dir).persist()
+    sp = _matrix_src("spans", _spans(spark, sf_dir))
     out = None
     for name, fn in _span_wire_codecs().items():
-        part = _span_roundtrip_select(fn(sp)).withColumn("format", F.lit(name))
+        # tag FIRST — the oracle emits it first, and query/oracle
+        # column order stays positionally aligned repo-wide
+        part = _span_roundtrip_select(fn(sp)).select(
+            F.lit(name).alias("format"), "*"
+        )
         out = part if out is None else out.unionByName(part)
     return out
 
@@ -728,7 +743,7 @@ def q_log_wire_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.otlp_json import logs_from_otlp_json, logs_to_otlp_json
     from ..sources.otlp_proto import logs_from_otlp_proto, logs_to_otlp_proto
 
-    t = _derive_transcripts(spark, sf_dir).persist()
+    t = _matrix_src("transcripts", _derive_transcripts(spark, sf_dir))
     codecs = {
         "otlp_json": lambda d: logs_from_otlp_json(logs_to_otlp_json(d)),
         "otlp_proto": lambda d: logs_from_otlp_proto(logs_to_otlp_proto(d)),
@@ -736,9 +751,10 @@ def q_log_wire_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = None
     for name, fn in codecs.items():
         part = fn(t).select(
+            F.lit(name).alias("format"),
             *_TRANSCRIPT_ID_COLS,
             F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
-        ).withColumn("format", F.lit(name))
+        )
         out = part if out is None else out.unionByName(part)
     return out
 
@@ -759,13 +775,14 @@ def q_fluentforward_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode."""
     from ..sources.fluentforward import fluent_to_transcripts, transcripts_to_fluent
 
-    t = _derive_transcripts(spark, sf_dir).persist()
+    t = _matrix_src("transcripts", _derive_transcripts(spark, sf_dir))
     out = None
     for mode in ("message", "forward", "packed_forward", "packed_forward_gzip"):
         part = fluent_to_transcripts(transcripts_to_fluent(t, mode=mode)).select(
+            F.lit(mode).alias("mode"),
             *_TRANSCRIPT_ID_COLS,
             F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
-        ).withColumn("mode", F.lit(mode))
+        )
         out = part if out is None else out.unionByName(part)
     return out
 
@@ -788,7 +805,7 @@ def q_metric_wire_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.otlp_json import metrics_from_otlp_json, metrics_to_otlp_json
     from ..sources.otlp_proto import metrics_from_otlp_proto, metrics_to_otlp_proto
 
-    dps = _dp_rows(spark, sf_dir).persist()
+    dps = _matrix_src("datapoints", _dp_rows(spark, sf_dir))
     codecs = {
         "otlp_json": lambda d: metrics_from_otlp_json(metrics_to_otlp_json(d)),
         "otlp_proto": lambda d: metrics_from_otlp_proto(metrics_to_otlp_proto(d)),
@@ -798,7 +815,9 @@ def q_metric_wire_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     out = None
     for name, fn in codecs.items():
-        part = _dp_roundtrip_select(fn(dps)).withColumn("format", F.lit(name))
+        part = _dp_roundtrip_select(fn(dps)).select(
+            F.lit(name).alias("format"), "*"
+        )
         out = part if out is None else out.unionByName(part)
     return out
 

@@ -134,6 +134,25 @@ class Warehouse:
         """True when (run_id, sink) already has a committed snapshot."""
         return self.committed(_fingerprint(run_id, sink)) is not None
 
+    def has_stream_runs(self, stream_id: str) -> bool:
+        """True when any committed snapshot carries this stream's
+        namespaced run_id (``<stream_id>-epoch-N``) — the marker-less
+        signal that a resuming checkpoint was ALREADY namespaced, so
+        the legacy-epoch migration must not claim it. Metadata-only:
+        one scan of the KB-scale commit log."""
+        prefix = f"{stream_id}-epoch-"
+        commits_dir = os.path.join(self.root, "_commits")
+        for fn in os.listdir(commits_dir):
+            if not fn.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(commits_dir, fn)) as f:
+                    if json.load(f).get("run_id", "").startswith(prefix):
+                        return True
+            except (OSError, json.JSONDecodeError):
+                continue
+        return False
+
     def _commit(self, manifest: dict) -> None:
         """Write-then-rename so a manifest is either absent or complete
         (the snapshot-commit atomicity Iceberg gives natively)."""

@@ -292,6 +292,16 @@ def fluent_to_transcripts(df: DataFrame, bin_col: str = "fluent") -> DataFrame:
                     continue
                 for rec in decode_forward_stream(bytes(blob)):
                     a = rec["attrs"]
+                    if a.get("turn_idx") is None:
+                        # a valid Forward record that simply isn't a
+                        # transcript row: fail in the codec's declared
+                        # exception family, not with int(None)'s
+                        # TypeError killing the whole task opaquely
+                        raise ValueError(
+                            "fluent record missing transcript attribute"
+                            f" 'turn_idx' (tag={rec.get('tag')!r},"
+                            f" attrs={sorted(a)})"
+                        )
                     rows.append(
                         (
                             str(a.get("conv_id")),

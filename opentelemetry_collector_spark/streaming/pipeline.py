@@ -115,7 +115,9 @@ def stream_identity(checkpoint_dir: str) -> str:
     return hashlib.sha256(key.encode()).hexdigest()[:12]
 
 
-def _legacy_epoch_mode(checkpoint_dir: str, stream_id: str, spark=None) -> bool:
+def _legacy_epoch_mode(
+    checkpoint_dir: str, stream_id: str, spark=None, warehouse=None
+) -> bool:
     """One-time migration marker: pre-namespacing builds committed sink
     epochs under run_id ``epoch-N``. Only a checkpoint that ALREADY has
     Spark offsets but NO marker can be resuming such a build — it gets
@@ -124,6 +126,15 @@ def _legacy_epoch_mode(checkpoint_dir: str, stream_id: str, spark=None) -> bool:
     never skip its own commits just because some OTHER pre-namespacing
     stream left an ``epoch-N`` snapshot in the shared warehouse (that
     unscoped skip was silent data loss).
+
+    offsets-without-marker alone cannot distinguish a genuinely
+    pre-namespacing checkpoint from one written by a namespaced build
+    that predates the MARKER: the warehouse commit log breaks the
+    tie. If any committed snapshot already carries this stream's
+    namespaced run_id (``<stream_id>-epoch-N``), the previous
+    incarnation was namespaced — classifying it legacy would pin the
+    silent epoch-skip on it forever whenever any other stream's true
+    legacy ``epoch-N`` snapshot shares the warehouse.
 
     Local checkpoints use plain file I/O; remote checkpoint URIs
     (hdfs://, s3a://, ...) go through Hadoop's FileSystem API via the
@@ -143,8 +154,11 @@ def _legacy_epoch_mode(checkpoint_dir: str, stream_id: str, spark=None) -> bool:
         except FileNotFoundError:
             pass
         # no marker yet: offsets present ⇒ resuming a checkpoint written
-        # before the marker existed ⇒ may predate namespacing
-        legacy = os.path.isdir(os.path.join(local, "offsets"))
+        # before the marker existed ⇒ may predate namespacing — unless
+        # the commit log shows this stream already committed namespaced
+        legacy = os.path.isdir(os.path.join(local, "offsets")) and not (
+            warehouse is not None and warehouse.has_stream_runs(stream_id)
+        )
         os.makedirs(local, exist_ok=True)
         tmp = marker + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
@@ -179,7 +193,9 @@ def _legacy_epoch_mode(checkpoint_dir: str, stream_id: str, spark=None) -> bool:
         finally:
             stream.close()
         return bool(json.loads(bytes(chunks)).get("legacy", False))
-    legacy = fs.isDirectory(HPath(root, "offsets"))
+    legacy = fs.isDirectory(HPath(root, "offsets")) and not (
+        warehouse is not None and warehouse.has_stream_runs(stream_id)
+    )
     tmp = HPath(root, "_namespace_marker.json.tmp")
     out = fs.create(tmp, True)
     try:
@@ -216,7 +232,9 @@ def start_routed_stream(
 
     config = config or PipelineConfig()
     stream_id = stream_identity(checkpoint_dir)
-    legacy_mode = _legacy_epoch_mode(checkpoint_dir, stream_id, spark=spark)
+    legacy_mode = _legacy_epoch_mode(
+        checkpoint_dir, stream_id, spark=spark, warehouse=warehouse
+    )
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         s = batch_df.sparkSession

@@ -118,7 +118,10 @@ def ivf_train_centroids(
     sample = (
         df.select(F.col(vec_col).alias("v"))
         .withColumn("_h", F.xxhash64(F.col("v"), F.lit(seed)))
-        .orderBy("_h")
+        # tiebreak on the vector value: equal hashes are (essentially
+        # only) identical vectors, but a boundary tie must still pick
+        # a partition-order-independent subset
+        .orderBy("_h", "v")
         .limit(8 * k)
         .collect()
     )

@@ -77,6 +77,20 @@ class TestMsgpackCodec:
         with pytest.raises(ValueError):
             unpackb(packb(1) + b"\x00")
 
+    def test_container_map_keys_raise_value_error(self):
+        """Wire-legal maps keyed by array/map/ext have no Python-dict
+        form; the codec's single-exception contract is ValueError, not
+        the TypeError a bare dict insert would leak."""
+        # fixmap{ [1]: 2 }
+        with pytest.raises(ValueError, match="map key"):
+            unpackb(bytes([0x81, 0x91, 0x01, 0x02]))
+        # fixmap{ {1: 2}: 3 }
+        with pytest.raises(ValueError, match="map key"):
+            unpackb(bytes([0x81, 0x81, 0x01, 0x02, 0x03]))
+        # fixmap{ ext: 1 }
+        with pytest.raises(ValueError, match="map key"):
+            unpackb(bytes([0x81]) + packb(Ext(7, b"x")) + bytes([0x01]))
+
     def test_float32_decodes(self):
         blob = b"\xca" + struct.pack(">f", 1.5)
         assert unpackb(blob) == 1.5

@@ -207,6 +207,35 @@ class TestStreamIdentity:
         # legacy snapshot instead of being silently skipped
         assert wh.read_sink(spark, "archive").count() > 3
 
+    def test_namespaced_but_markerless_checkpoint_is_not_legacy(
+        self, tmp_path
+    ):
+        """A checkpoint written by a NAMESPACED build that predates
+        the marker (offsets on disk, no marker, but the warehouse
+        commit log already holds this stream's '<stream_id>-epoch-N'
+        runs) must classify legacy=False — pinning it legacy would
+        re-enable the silent epoch skip against any other stream's
+        true-legacy 'epoch-N' snapshot, forever."""
+        from opentelemetry_collector_spark.streaming.pipeline import (
+            _legacy_epoch_mode,
+        )
+
+        wh = Warehouse(str(tmp_path / "wh_mkless"))
+        # the previous (namespaced, marker-less) incarnation committed
+        commit = {"snapshot_id": "s1", "run_id": "abc-epoch-0",
+                  "sink": "archive", "rows": 1, "path": "p"}
+        wh._commit(commit)
+        ckpt = tmp_path / "ckpt_mkless"
+        (ckpt / "offsets").mkdir(parents=True)
+        assert _legacy_epoch_mode(str(ckpt), "abc", warehouse=wh) is False
+
+        # control: same checkpoint shape with NO namespaced commits in
+        # the log stays legacy (genuinely pre-namespacing resume)
+        wh2 = Warehouse(str(tmp_path / "wh_mkless2"))
+        ckpt2 = tmp_path / "ckpt_mkless2"
+        (ckpt2 / "offsets").mkdir(parents=True)
+        assert _legacy_epoch_mode(str(ckpt2), "abc", warehouse=wh2) is True
+
     def test_marker_pins_mode_across_resume(self, tmp_path):
         """Once a checkpoint records legacy=False, later resumes (which
         now DO have offsets on disk) stay non-legacy."""
