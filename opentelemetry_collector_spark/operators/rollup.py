@@ -29,9 +29,6 @@ rather than silently double-counting.
 
 from __future__ import annotations
 
-import threading
-from collections import OrderedDict
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -39,41 +36,18 @@ from .asof import numeric_axis
 
 _CASCADABLE = ("count", "sum", "min", "max", "avg")
 
-# Bounded FIFO of persisted intermediate levels (same pattern as the
-# dedup signature cache): repeated calls on the same input reuse one
-# cached frame instead of stacking a new persist per call, and FIFO
-# eviction unpersists the oldest — no unbounded cache growth in a
+# Bounded FIFO of persisted intermediate levels: one shared
+# implementation (functions.keyed_cache) instantiated per subsystem —
+# repeated calls on the same input reuse one cached frame instead of
+# stacking a new persist per call, with no unbounded growth in a
 # long-lived session.
-_LEVEL_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
-_LEVEL_CACHE_LOCK = threading.Lock()
-_LEVEL_CACHE_MAX = 8
+from ..functions.keyed_cache import KeyedFrameCache, plan_key as _plan_key
 
-
-def _plan_key(df: DataFrame):
-    """Stable identity of the input's logical plan (semanticHash);
-    falls back to the DataFrame object off classic PySpark — the key
-    tuple keeps a strong reference so identity can't be recycled."""
-    try:
-        return df._jdf.queryExecution().analyzed().semanticHash()
-    except Exception:
-        return df
+_LEVEL_CACHE = KeyedFrameCache(max_entries=8)
 
 
 def _keyed_persist(key: tuple, frame: DataFrame) -> DataFrame:
-    with _LEVEL_CACHE_LOCK:
-        cached = _LEVEL_CACHE.get(key)
-        if cached is not None:
-            _LEVEL_CACHE.move_to_end(key)
-            return cached
-        frame = frame.persist()
-        _LEVEL_CACHE[key] = frame
-        while len(_LEVEL_CACHE) > _LEVEL_CACHE_MAX:
-            _, evicted = _LEVEL_CACHE.popitem(last=False)
-            try:
-                evicted.unpersist(blocking=False)
-            except Exception:
-                pass
-        return frame
+    return _LEVEL_CACHE.get_or_persist(key, frame)
 
 
 def clear_level_caches() -> None:
@@ -81,13 +55,7 @@ def clear_level_caches() -> None:
     harnesses call this between benchmark attempts so a retry redoes
     the same work (blocking, so eviction can't bleed into the next
     timed window)."""
-    with _LEVEL_CACHE_LOCK:
-        while _LEVEL_CACHE:
-            _, evicted = _LEVEL_CACHE.popitem(last=False)
-            try:
-                evicted.unpersist(blocking=True)
-            except Exception:
-                pass
+    _LEVEL_CACHE.clear()
 
 
 def rollup_cascade(

@@ -23,13 +23,14 @@ from .shared_sql import _TRANSCRIPTS_FROM_EVENTS, _derive_transcripts, _register
 # bounded keyed persist (FIFO, unpersists evictees): the wire-matrix
 # queries fan one source frame out to every codec and must cache it,
 # but a bare .persist() per invocation would accumulate one orphaned
-# cached copy per correctness pass — the exact leak the dedup module's
-# keyed pool exists to bound, so reuse it
-from ..trainingdata.dedup import _keyed_persist, _plan_key
+# cached copy per correctness pass
+from ..functions.keyed_cache import KeyedFrameCache, plan_key as _plan_key
+
+_WIRE_SRC_CACHE = KeyedFrameCache(max_entries=4)
 
 
 def _matrix_src(tag: str, frame: DataFrame) -> DataFrame:
-    return _keyed_persist(("wire-src", tag, _plan_key(frame)), frame)
+    return _WIRE_SRC_CACHE.get_or_persist(("wire-src", tag, _plan_key(frame)), frame)
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments

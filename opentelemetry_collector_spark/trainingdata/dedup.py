@@ -119,26 +119,13 @@ def exact_dedup_clusters(df: DataFrame, text_col: str = "text", id_col: str = "d
 # signature-table cache (see minhash_lsh_pairs cache_signatures):
 # keyed by (input plan, knobs) so two concurrent pipelines in one
 # driver never unpersist each other's signatures; bounded FIFO so
-# repeated invocations don't accumulate executor storage.
-import threading
-from collections import OrderedDict
+# repeated invocations don't accumulate executor storage. One shared
+# implementation (functions.keyed_cache) instantiated per subsystem —
+# capacity sized for up to three entries (bands + exploded + cand-sh)
+# per input.
+from ..functions.keyed_cache import KeyedFrameCache, plan_key as _plan_key
 
-_SIG_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
-_SIG_CACHE_LOCK = threading.Lock()
-_SIG_CACHE_MAX = 12  # up to three entries (bands + pairs + cand-sh) per input
-
-
-def _plan_key(df: DataFrame):
-    """Stable identity of a DataFrame's logical plan (Catalyst
-    semanticHash). Off classic PySpark (e.g. Spark Connect) the
-    fallback is the DataFrame OBJECT itself — hash/eq by identity,
-    and the cache key tuple holds a strong reference, so the id can
-    never be recycled onto a different frame while the entry lives
-    (a plain ``id(df)`` could serve a stale frame after gc)."""
-    try:
-        return df._jdf.queryExecution().analyzed().semanticHash()
-    except Exception:
-        return df
+_SIG_CACHE = KeyedFrameCache(max_entries=12)
 
 
 def clear_signature_caches() -> None:
@@ -148,35 +135,13 @@ def clear_signature_caches() -> None:
     frames (bench.py calls this between attempts). Blocking eviction:
     the caller is about to start a timed window, and an async eviction
     would run the previous attempt's block cleanup inside it."""
-    with _SIG_CACHE_LOCK:
-        while _SIG_CACHE:
-            _, evicted = _SIG_CACHE.popitem(last=False)
-            try:
-                evicted.unpersist(blocking=True)
-            except Exception:
-                pass
+    _SIG_CACHE.clear()
 
 
 def _keyed_persist(key: tuple, frame: DataFrame) -> DataFrame:
-    """Persist ``frame`` under ``key`` in the bounded FIFO cache (or
-    return the already-persisted frame for the same key). FIFO
-    eviction unpersists the oldest entry, so repeated invocations
-    never accumulate executor storage and concurrent pipelines never
-    evict each other's in-flight frames."""
-    with _SIG_CACHE_LOCK:
-        cached = _SIG_CACHE.get(key)
-        if cached is not None:
-            _SIG_CACHE.move_to_end(key)
-            return cached
-        frame = frame.persist()
-        _SIG_CACHE[key] = frame
-        while len(_SIG_CACHE) > _SIG_CACHE_MAX:
-            _, evicted = _SIG_CACHE.popitem(last=False)
-            try:
-                evicted.unpersist(blocking=False)
-            except Exception:
-                pass
-        return frame
+    """Persist ``frame`` under ``key`` in the bounded FIFO pool (or
+    return the already-persisted frame for the same key)."""
+    return _SIG_CACHE.get_or_persist(key, frame)
 
 def shingles_col(col: Column, k: int = MINHASH_K) -> Column:
     """Distinct k-token shingles; documents shorter than k tokens fall
