@@ -47,7 +47,7 @@ class KeyedFrameCache:
     """Thread-safe bounded FIFO of persisted DataFrames."""
 
     def __init__(self, max_entries: int):
-        self._max = max_entries
+        self.max_entries = max_entries
         self._entries: "OrderedDict[tuple, DataFrame]" = OrderedDict()
         self._lock = threading.Lock()
 
@@ -59,7 +59,7 @@ class KeyedFrameCache:
                 return cached
             frame = frame.persist()
             self._entries[key] = frame
-            while len(self._entries) > self._max:
+            while len(self._entries) > self.max_entries:
                 _, evicted = self._entries.popitem(last=False)
                 try:
                     evicted.unpersist(blocking=False)

@@ -174,8 +174,23 @@ def asof_join(
     matched = F.when(F.col("_on").isNotNull(), matched)
     out = u.withColumn("_match", matched).filter(F.col("_is_left") == 1)
     left_cols = set(left.columns)
+    # suffixing must not itself collide (left already has 'ts_r', or
+    # two payload columns map to one name): a duplicate output column
+    # surfaces as AMBIGUOUS_REFERENCE far from the join — raise here
+    # instead, like pandas merge_asof does
+    used = set(left.columns)
+    payload_names: dict[str, str] = {}
+    for c in payload:
+        name = c + suffix if c in left_cols else c
+        if name in used:
+            raise ValueError(
+                f"asof_join output column {name!r} collides after"
+                f" suffixing; rename the input column or pass a"
+                f" different suffix"
+            )
+        used.add(name)
+        payload_names[c] = name
     projected = [F.col(f"_lrow.{c}").alias(c) for c in left.columns] + [
-        F.col("_match")[c].alias(c + suffix if c in left_cols else c)
-        for c in payload
+        F.col("_match")[c].alias(payload_names[c]) for c in payload
     ]
     return out.select(*projected)

@@ -38,6 +38,11 @@ from .asof import numeric_axis
 
 
 def _bucket(axis_col, width: float):
+    if not width > 0:
+        # fail at call time with a clear message, not mid-task with
+        # ANSI DIVIDE_BY_ZERO (width 0) or silently flipped buckets
+        # (negative width)
+        raise ValueError(f"bucket_width must be > 0, got {width}")
     return F.floor(axis_col / F.lit(float(width))).cast("long")
 
 
@@ -47,10 +52,25 @@ def _suffixed(
     """Rename plan for the right/interval side: ``by`` keys keep their
     names (they are the equi-join columns and Spark's name-list join
     coalesces them), everything else colliding with the left side gets
-    the suffix."""
-    return {
-        c: c if c in by else (c + suffix if c in taken else c) for c in cols
-    }
+    the suffix. Raises when a suffixed name ITSELF collides (with the
+    left side or another right column) — a silent duplicate output
+    column would surface as AMBIGUOUS_REFERENCE far from the join."""
+    out: dict[str, str] = {}
+    used = set(taken)
+    for c in cols:
+        if c in by:
+            out[c] = c
+            continue
+        name = c + suffix if c in taken else c
+        if name in used:
+            raise ValueError(
+                f"range-join output column {name!r} collides after"
+                f" suffixing; rename the input column or pass a"
+                f" different suffix"
+            )
+        used.add(name)
+        out[c] = name
+    return out
 
 
 def point_in_interval_join(

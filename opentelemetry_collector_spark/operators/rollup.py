@@ -87,6 +87,13 @@ def rollup_cascade(
     than raw by the bucket ratio — and live in a bounded keyed FIFO
     (repeat calls reuse them; eviction unpersists; harnesses reset
     with ``clear_level_caches``).
+
+    Cache semantics are Spark persist semantics: entries are keyed by
+    the input's logical plan, so a repeat call over a table whose
+    FILES changed underneath the same plan can serve the previously
+    materialized levels (exactly as a bare ``df.persist()`` would).
+    After mutating an input table in a long-lived session, call
+    ``clear_level_caches()`` or pass ``cache_levels=False``.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     if not measures:
@@ -109,6 +116,16 @@ def rollup_cascade(
                 f"(supported: {_CASCADABLE}; distinct/percentile need "
                 f"sketches)"
             )
+    if cache_levels and len(levels) - 1 > _LEVEL_CACHE.max_entries:
+        # a single cascade must not evict its OWN intermediate levels
+        # mid-build — that silently reintroduces the O(raw × levels)
+        # recompute the cache exists to prevent
+        raise ValueError(
+            f"{len(levels)} levels need {len(levels) - 1} cached"
+            f" intermediates but the level cache holds"
+            f" {_LEVEL_CACHE.max_entries}; use fewer levels or"
+            f" cache_levels=False"
+        )
 
     axis = numeric_axis(df, ts)
 
@@ -117,6 +134,16 @@ def rollup_cascade(
     phys: dict[str, tuple[str, str]] = {}
     for name, (agg, col) in measures.items():
         if agg == "avg":
+            for gen in (f"_{name}_sum", f"_{name}_cnt"):
+                if gen in measures:
+                    # a same-named user measure would be clobbered in
+                    # phys (dict-order-dependent WRONG numbers, no
+                    # error) — refuse loudly instead
+                    raise ValueError(
+                        f"measure name {gen!r} collides with the"
+                        f" physical column generated for avg measure"
+                        f" {name!r}; rename one of them"
+                    )
             phys[f"_{name}_sum"] = ("sum", col)
             phys[f"_{name}_cnt"] = ("count", col)
         else:

@@ -154,6 +154,19 @@ class TestTolerance:
 
 
 class TestEdges:
+    def test_suffix_collision_raises(self, spark):
+        """left already holds 'ts_r': suffixing right's 'ts' payload
+        would DUPLICATE it — must raise at the join (like pandas
+        merge_asof), not surface later as AMBIGUOUS_REFERENCE."""
+        l = spark.createDataFrame(
+            [(0, _ts(10), _ts(11))], "id long, ts timestamp, ts_r timestamp"
+        )
+        r = spark.createDataFrame(
+            [(_ts(9), 1)], "ts timestamp, x long"
+        )
+        with pytest.raises(ValueError, match="collides after"):
+            asof_join(l, r, on="ts")
+
     def test_null_left_on_never_matches(self, spark, frames):
         _, r = frames
         l = spark.createDataFrame(

@@ -81,6 +81,26 @@ class TestPointInInterval:
         assert row["id"] == 0 and row["id_r"] == 9
         assert row["tag"] == "pt" and row["tag_r"] == "iv"
 
+    def test_suffix_collision_raises(self, spark):
+        """points already hold 'id_r': suffixing the interval side's
+        'id' would duplicate it — raise at the join, not later as
+        AMBIGUOUS_REFERENCE."""
+        p = spark.createDataFrame([(0, 5, 7)], "id long, t long, id_r long")
+        iv = spark.createDataFrame([(9, 0, 10)], "id long, s long, e long")
+        with pytest.raises(ValueError, match="collides after"):
+            point_in_interval_join(p, iv, on="t", start="s", end="e")
+
+    def test_rejects_nonpositive_bucket_width(self, spark):
+        """width 0 would hit ANSI DIVIDE_BY_ZERO mid-task; negative
+        widths flip bucket signs — both must fail at call time."""
+        p = spark.createDataFrame([(0, 5)], "pid long, t long")
+        iv = spark.createDataFrame([(9, 0, 10)], "iid long, s long, e long")
+        for bad in (0.0, -3.0):
+            with pytest.raises(ValueError, match="bucket_width"):
+                point_in_interval_join(
+                    p, iv, on="t", start="s", end="e", bucket_width=bad
+                )
+
     def test_negative_axis(self, spark):
         p = spark.createDataFrame([(0, -7), (1, -1), (2, 3)], "pid long, t long")
         iv = spark.createDataFrame([(9, -8, 0)], "iid long, s long, e long")

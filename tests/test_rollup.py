@@ -135,6 +135,34 @@ class TestValidation:
         with pytest.raises(ValueError, match="at least one"):
             rollup_cascade(raw, keys="k", measures={}, levels=[60])
 
+    def test_rejects_measure_colliding_with_avg_physical_name(self, raw):
+        """A user measure named like an avg's generated (sum, cnt)
+        physical column would be silently clobbered in the physical
+        map — wrong numbers with no error — so it must be refused."""
+        with pytest.raises(ValueError, match="collides with the physical"):
+            rollup_cascade(
+                raw, keys="k",
+                measures={"_x_sum": ("sum", "v"), "x": ("avg", "v")},
+                levels=[60],
+            )
+
+    def test_rejects_more_levels_than_cache_slots(self, raw):
+        """A single cascade must not evict its own intermediates
+        mid-build (that silently reintroduces the O(raw x levels)
+        recompute); cache_levels=False opts out of the bound."""
+        from opentelemetry_collector_spark.operators.rollup import (
+            _LEVEL_CACHE,
+        )
+
+        levels = [60 * 2 ** i for i in range(_LEVEL_CACHE.max_entries + 2)]
+        with pytest.raises(ValueError, match="cached"):
+            rollup_cascade(raw, keys="k", measures=MEASURES, levels=levels)
+        # opting out of caching lifts the bound (plan builds fine)
+        rollup_cascade(
+            raw, keys="k", measures=MEASURES, levels=levels,
+            cache_levels=False,
+        ).schema
+
 
 class TestPlanShape:
     def test_raw_input_aggregated_once(self, spark, tmp_path):
