@@ -108,8 +108,14 @@ def main() -> None:
             attempts.append(meter.stop())
             if sum(a["ext_frac"] <= 0.10 for a in attempts) >= 2:
                 break
-        best = min(attempts, key=lambda a: a["sec"])
-        if min(a["ext_frac"] for a in attempts) > 0.10:
+        # best = fastest CLEAN attempt (ext_frac <= 0.10); only when no
+        # attempt is clean does min-by-sec alone decide. A contended
+        # attempt that happens to be fastest must not become the
+        # published number — that would bias timings downward vs the
+        # cleanest-attempt methodology the earlier rounds used.
+        clean = [a for a in attempts if a["ext_frac"] <= 0.10]
+        best = min(clean or attempts, key=lambda a: a["sec"])
+        if not clean:
             contended.append(name)
         ext_max = max(ext_max, best["ext_frac"])
         timings[name] = round(best["sec"], 3)
@@ -137,8 +143,9 @@ def main() -> None:
         meter.start()
         force(minhash_lsh_pairs(docs, hash_fn=production_hash))
         xx_attempts.append(meter.stop())
-    m = min(xx_attempts, key=lambda a: a["sec"])
-    if min(a["ext_frac"] for a in xx_attempts) > 0.10:
+    xx_clean = [a for a in xx_attempts if a["ext_frac"] <= 0.10]
+    m = min(xx_clean or xx_attempts, key=lambda a: a["sec"])
+    if not xx_clean:
         contended.append("minhash_xxhash")
     # published timing => its external burn counts toward the
     # reported max even below the contention threshold

@@ -147,7 +147,34 @@ class Warehouse:
                 continue
             try:
                 with open(os.path.join(commits_dir, fn)) as f:
-                    if json.load(f).get("run_id", "").startswith(prefix):
+                    # str(... or "") tolerates run_id: null and corrupt
+                    # non-string manifests — one bad manifest must not
+                    # abort stream startup
+                    if str(json.load(f).get("run_id") or "").startswith(prefix):
+                        return True
+            except (OSError, json.JSONDecodeError):
+                continue
+        return False
+
+    def has_legacy_epochs(self) -> bool:
+        """True when any committed snapshot carries an UNSCOPED
+        pre-namespacing run_id (exactly ``epoch-N``). Legacy-epoch
+        migration is only meaningful when such snapshots exist at all:
+        a checkpoint with offsets but no marker and no unscoped
+        ``epoch-N`` commits anywhere in the warehouse cannot be
+        resuming a pre-namespacing build (there is nothing it could
+        double-commit), so it must classify non-legacy. Metadata-only:
+        one scan of the KB-scale commit log."""
+        import re
+
+        commits_dir = os.path.join(self.root, "_commits")
+        pat = re.compile(r"^epoch-\d+$")
+        for fn in os.listdir(commits_dir):
+            if not fn.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(commits_dir, fn)) as f:
+                    if pat.match(str(json.load(f).get("run_id") or "")):
                         return True
             except (OSError, json.JSONDecodeError):
                 continue

@@ -155,9 +155,23 @@ def _legacy_epoch_mode(
             pass
         # no marker yet: offsets present ⇒ resuming a checkpoint written
         # before the marker existed ⇒ may predate namespacing — unless
-        # the commit log shows this stream already committed namespaced
+        # the commit log shows this stream already committed namespaced,
+        # OR the warehouse holds no unscoped ``epoch-N`` snapshot at all
+        # (legacy mode only exists to avoid double-committing those; if
+        # none exist, a namespaced checkpoint that stopped before its
+        # first sink commit must not get legacy=True pinned forever).
+        # Residual window, by design: a zero-commit namespaced
+        # checkpoint sharing a warehouse where some OTHER stream's true
+        # legacy epoch-N snapshots exist is indistinguishable from a
+        # genuine legacy resume — it classifies legacy and may skip an
+        # epoch whose (sink, epoch-N) pair another stream committed.
+        # The marker bounds the exposure to that first resume.
         legacy = os.path.isdir(os.path.join(local, "offsets")) and not (
-            warehouse is not None and warehouse.has_stream_runs(stream_id)
+            warehouse is not None
+            and (
+                warehouse.has_stream_runs(stream_id)
+                or not warehouse.has_legacy_epochs()
+            )
         )
         os.makedirs(local, exist_ok=True)
         tmp = marker + ".tmp"
@@ -193,8 +207,15 @@ def _legacy_epoch_mode(
         finally:
             stream.close()
         return bool(json.loads(bytes(chunks)).get("legacy", False))
+    # same tie-breaks as the local branch: namespaced commits for this
+    # stream, or a warehouse with no unscoped epoch-N snapshot at all,
+    # both mean non-legacy
     legacy = fs.isDirectory(HPath(root, "offsets")) and not (
-        warehouse is not None and warehouse.has_stream_runs(stream_id)
+        warehouse is not None
+        and (
+            warehouse.has_stream_runs(stream_id)
+            or not warehouse.has_legacy_epochs()
+        )
     )
     tmp = HPath(root, "_namespace_marker.json.tmp")
     out = fs.create(tmp, True)

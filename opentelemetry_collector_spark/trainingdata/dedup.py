@@ -419,11 +419,19 @@ def minhash_lsh_pairs(
     cand_ids = (
         exploded.withColumn("_n", bucket_n)
         .filter(F.col("_n") > 1)
-        .select("id")
+        .select(F.col("id").alias("_cand_id"))
         .dropDuplicates()
     )
+    # No forced broadcast: the candidate-id set scales with the
+    # corpus's near-dup fraction (web corpora: large), so a hard
+    # F.broadcast here is a driver-OOM / 8 GB-broadcast cliff at
+    # 10^9 docs. Left to the optimizer, AQE broadcasts it when the
+    # runtime size is under the threshold and falls back to a shuffle
+    # left_semi when it is not — exactly the adaptive behavior the
+    # scale path needs. cand_ids' column is aliased to _cand_id so a
+    # caller passing id_col="id" never hits AMBIGUOUS_REFERENCE.
     sh_tbl = (
-        df.join(F.broadcast(cand_ids), F.col(id_col) == cand_ids["id"], "left_semi")
+        df.join(cand_ids, df[id_col] == cand_ids["_cand_id"], "left_semi")
         .select(F.col(id_col).alias("id"), shingles_col(F.col(text_col)).alias("sh"))
     )
     if caching:

@@ -127,13 +127,18 @@ class TestPlanQuality:
             # (bucket-count window ≤1 — free when the cap window has
             # already band-partitioned the cached frame — plus the
             # tiny id distinct, 1) + the verify's id_a/id_b joins
-            # (≤2, one shingle side reused; the candidate→source
-            # fetch itself is an explicit broadcast semi, no shuffle)
-            # — the heavy shingle arrays move only for surviving
-            # pairs, never through the band join
+            # (≤2, one shingle side reused) + the candidate→source
+            # semi (≤2: with broadcast forced off this regime models
+            # a candidate set too big to broadcast — the r4-advice
+            # driver-OOM case — where a shuffle left_semi on id is
+            # the only correct plan; under AQE + default threshold a
+            # small candidate set still broadcasts at runtime and
+            # these two exchanges vanish) — the heavy shingle arrays
+            # move only for surviving pairs, never through the band
+            # join
             plan = plan_of(minhash_lsh_pairs(docs, hot_bucket_limit=None))
             n = self._shuffles(plan)
-            assert n <= 7, f"{n} shuffles\n{plan}"
+            assert n <= 9, f"{n} shuffles\n{plan}"
             # the corpus-sized band exchange must be SKINNY: any
             # exchange partitioned on the band keys must not carry
             # the shingle array (sh moves only through the verify

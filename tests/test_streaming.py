@@ -229,12 +229,64 @@ class TestStreamIdentity:
         (ckpt / "offsets").mkdir(parents=True)
         assert _legacy_epoch_mode(str(ckpt), "abc", warehouse=wh) is False
 
-        # control: same checkpoint shape with NO namespaced commits in
-        # the log stays legacy (genuinely pre-namespacing resume)
+        # control: same checkpoint shape where the log holds a true
+        # unscoped 'epoch-N' snapshot and nothing namespaced for this
+        # stream stays legacy (genuinely pre-namespacing resume)
         wh2 = Warehouse(str(tmp_path / "wh_mkless2"))
+        wh2._commit({"snapshot_id": "s2", "run_id": "epoch-0",
+                     "sink": "archive", "rows": 1, "path": "p"})
         ckpt2 = tmp_path / "ckpt_mkless2"
         (ckpt2 / "offsets").mkdir(parents=True)
         assert _legacy_epoch_mode(str(ckpt2), "abc", warehouse=wh2) is True
+
+    def test_zero_commit_namespaced_checkpoint_is_not_legacy(self, tmp_path):
+        """A namespaced checkpoint that wrote offsets but stopped
+        BEFORE its first sink commit leaves neither a marker nor any
+        '<stream_id>-epoch-N' run in the log. When the warehouse holds
+        no unscoped 'epoch-N' snapshot at all, there is nothing a
+        legacy resume could double-commit — classifying it legacy
+        would pin the cross-stream epoch-skip forever, so it must be
+        non-legacy. (Residual window, documented in _legacy_epoch_mode:
+        if ANOTHER stream's true-legacy epoch-N snapshots share the
+        warehouse, the zero-commit case is indistinguishable from a
+        genuine legacy resume and still classifies legacy.)"""
+        from opentelemetry_collector_spark.streaming.pipeline import (
+            _legacy_epoch_mode,
+        )
+
+        wh = Warehouse(str(tmp_path / "wh_zero"))
+        ckpt = tmp_path / "ckpt_zero"
+        (ckpt / "offsets").mkdir(parents=True)
+        assert _legacy_epoch_mode(str(ckpt), "abc", warehouse=wh) is False
+        # and the marker pins it across later resumes
+        assert _legacy_epoch_mode(str(ckpt), "abc", warehouse=wh) is False
+
+    def test_has_legacy_epochs_probe(self, tmp_path):
+        """Scoped run_ids, null/corrupt manifests, and non-epoch runs
+        must not read as legacy; only an exact unscoped 'epoch-N' does."""
+        wh = Warehouse(str(tmp_path / "wh_probe"))
+        assert wh.has_legacy_epochs() is False
+        wh._commit({"snapshot_id": "a", "run_id": "abc-epoch-3",
+                    "sink": "s", "rows": 1, "path": "p"})
+        wh._commit({"snapshot_id": "b", "run_id": None,
+                    "sink": "s", "rows": 1, "path": "p"})
+        wh._commit({"snapshot_id": "c", "run_id": "batch-42",
+                    "sink": "s", "rows": 1, "path": "p"})
+        assert wh.has_legacy_epochs() is False
+        wh._commit({"snapshot_id": "d", "run_id": "epoch-7",
+                    "sink": "s", "rows": 1, "path": "p"})
+        assert wh.has_legacy_epochs() is True
+
+    def test_has_stream_runs_tolerates_null_run_id(self, tmp_path):
+        """A manifest with run_id: null (or a corrupt non-string) must
+        not abort the marker-less stream-start probe."""
+        wh = Warehouse(str(tmp_path / "wh_null"))
+        wh._commit({"snapshot_id": "n", "run_id": None,
+                    "sink": "s", "rows": 1, "path": "p"})
+        assert wh.has_stream_runs("abc") is False
+        wh._commit({"snapshot_id": "m", "run_id": "abc-epoch-0",
+                    "sink": "s", "rows": 1, "path": "p"})
+        assert wh.has_stream_runs("abc") is True
 
     def test_marker_pins_mode_across_resume(self, tmp_path):
         """Once a checkpoint records legacy=False, later resumes (which
