@@ -1,4 +1,4 @@
-from .asof import asof_join, numeric_axis
+from .asof import asof_join, asof_join_bucketed, numeric_axis
 from .attributes import Action, AttributesProcessor, apply_actions_to_map
 from .rangejoin import interval_overlap_join, point_in_interval_join
 from .rollup import clear_level_caches, rollup_cascade
@@ -30,6 +30,7 @@ from .metrics import (
 
 __all__ = [
     "asof_join",
+    "asof_join_bucketed",
     "numeric_axis",
     "interval_overlap_join",
     "point_in_interval_join",

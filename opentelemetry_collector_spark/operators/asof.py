@@ -20,9 +20,10 @@ is the minimal distributed plan:
     no per-key buffering of the whole group.
 
 Skew: one hot ``by`` key lands in one window partition. For keys hot
-enough to matter, pre-bucket the time axis (two-phase: per-bucket
-as-of, then fix the first row of each bucket with the previous
-bucket's tail) — the same mitigation as any keyed running-window op.
+enough to matter, use ``asof_join_bucketed`` — the two-phase variant
+below that pre-buckets the time axis (per-(key, bucket) as-of, then a
+carry join fixing rows whose nearest match sits in an earlier/later
+bucket), bounding every window partition to one bucket's rows.
 
 Ties and determinism: at equal (by, on) the right row sorts BEFORE
 the left row, so a boundary match is inclusive (matches DuckDB's
@@ -173,13 +174,25 @@ def asof_join(
     # right row)
     matched = F.when(F.col("_on").isNotNull(), matched)
     out = u.withColumn("_match", matched).filter(F.col("_is_left") == 1)
-    left_cols = set(left.columns)
     # suffixing must not itself collide (left already has 'ts_r', or
     # two payload columns map to one name): a duplicate output column
     # surfaces as AMBIGUOUS_REFERENCE far from the join — raise here
     # instead, like pandas merge_asof does
+    payload_names = _payload_names(left, payload, suffix)
+    projected = [F.col(f"_lrow.{c}").alias(c) for c in left.columns] + [
+        F.col("_match")[c].alias(payload_names[c]) for c in payload
+    ]
+    return out.select(*projected)
+
+
+def _payload_names(
+    left: DataFrame, payload: list[str], suffix: str
+) -> dict[str, str]:
+    """Output-name plan for right payload columns, with the same
+    collision rules (and error) as ``asof_join``."""
+    left_cols = set(left.columns)
     used = set(left.columns)
-    payload_names: dict[str, str] = {}
+    names: dict[str, str] = {}
     for c in payload:
         name = c + suffix if c in left_cols else c
         if name in used:
@@ -189,7 +202,194 @@ def asof_join(
                 f" different suffix"
             )
         used.add(name)
-        payload_names[c] = name
+        names[c] = name
+    return names
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str | list[str] | tuple = (),
+    direction: str = "backward",
+    bucket_width: float = 3600.0,
+    tolerance: float | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Skew-safe as-of join: identical semantics to ``asof_join`` (same
+    directions, tolerance, tie/NULL rules, same output schema), but the
+    carry-forward window partitions on ``(by, time-bucket)`` instead of
+    ``by`` alone, so one viral key no longer serializes into a single
+    executor-killing window partition — every partition holds at most
+    one ``bucket_width`` slice of one key.
+
+    Two phases, both ordinary Catalyst plans:
+
+    1. **In-bucket as-of.** Both sides get ``_bkt = floor(axis(on) /
+       bucket_width)``; the union+window runs per ``(by, _bkt)``. A
+       right row at the same ``on`` as a left row is by construction in
+       the same bucket, so boundary-tie semantics are exactly the
+       unbucketed operator's.
+    2. **Carry fix-up.** A left row whose nearest right row lives in an
+       EARLIER bucket (backward) / LATER bucket (forward) has no
+       in-bucket match. Per ``(by, bucket)`` the right side collapses
+       to its tail (latest row) and head (earliest row) — ONE row per
+       non-empty bucket — and a window over these per-bucket summaries,
+       partitioned by ``by`` alone, computes each left bucket's
+       previous-tail / next-head. That window's partitions hold
+       ``#buckets`` rows, not ``#rows`` (time-span / bucket_width —
+       the knob that bounds the hot key), and the carry table joins
+       back on ``(by, _bkt)`` as a small equi-join AQE can broadcast.
+
+    ``direction='nearest'`` is exact: the global nearest match is
+    either the global backward or the global forward candidate, both
+    of which phase 1 + phase 2 produce (tie → backward, as pandas).
+
+    Cost vs ``asof_join``: one extra aggregate over the right side and
+    one small join — worth it only when a ``by`` key is hot; for
+    uniform keys the unbucketed single-window plan is cheaper.
+    """
+    if direction not in _DIRECTIONS:
+        raise ValueError(f"direction must be one of {_DIRECTIONS}, got {direction!r}")
+    if not bucket_width > 0:
+        raise ValueError(f"bucket_width must be > 0, got {bucket_width}")
+    by = [by] if isinstance(by, str) else list(by)
+    if on in by:
+        raise ValueError(f"'on' column {on!r} cannot also be a 'by' key")
+    payload = [c for c in right.columns if c not in by]
+    if on not in right.columns:
+        raise ValueError(f"right side has no {on!r} column")
+    payload_names = _payload_names(left, payload, suffix)
+
+    axis_l = numeric_axis(left, on)
+    axis_r = numeric_axis(right, on)
+    rstruct = F.struct(*[F.col(c) for c in payload])
+    lstruct = F.struct(*[F.col(c) for c in left.columns])
+
+    def bkt(axis_col):
+        return F.floor(axis_col / F.lit(float(bucket_width))).cast("long")
+
+    lt = left.select(
+        *by,
+        F.col(on).alias("_on"),
+        bkt(axis_l(F.col(on))).alias("_bkt"),
+        F.lit(1).alias("_is_left"),
+        lstruct.alias("_lrow"),
+        _null_of(right, rstruct).alias("_rrow"),
+    )
+    right_nonnull = right
+    for k in by:
+        right_nonnull = right_nonnull.filter(F.col(k).isNotNull())
+    right_nonnull = right_nonnull.filter(F.col(on).isNotNull())
+    rt = right_nonnull.select(
+        *by,
+        F.col(on).alias("_on"),
+        bkt(axis_r(F.col(on))).alias("_bkt"),
+        F.lit(0).alias("_is_left"),
+        _null_of(left, lstruct).alias("_lrow"),
+        rstruct.alias("_rrow"),
+    )
+    u = lt.unionByName(rt)
+
+    part = [*by, "_bkt"]
+    wb = (
+        Window.partitionBy(*part)
+        .orderBy(F.col("_on").asc_nulls_first(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*part)
+        .orderBy(F.col("_on").asc_nulls_first(), F.col("_is_left").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    need_back = direction in ("backward", "nearest")
+    need_fwd = direction in ("forward", "nearest")
+    u = u.withColumn(
+        "_inb_back",
+        F.last("_rrow", ignorenulls=True).over(wb) if need_back else F.lit(None),
+    ).withColumn(
+        "_inb_fwd",
+        F.first("_rrow", ignorenulls=True).over(wf) if need_fwd else F.lit(None),
+    )
+    lrows = u.filter(F.col("_is_left") == 1)
+
+    # ---- phase 2: per-(by, bucket) right summaries -> carry table ----
+    # tail = right row with max _on in the bucket (max_by tie picks an
+    # arbitrary equal row — same caveat as the base operator: dedupe
+    # the right side per (by, on) for deterministic output); head
+    # mirrors with min.
+    rsum = rt.groupBy(*by, "_bkt").agg(
+        F.max_by("_rrow", F.col("_on")).alias("_tail"),
+        F.min_by("_rrow", F.col("_on")).alias("_head"),
+    ).withColumn("_tag", F.lit(1))
+    lbkt = (
+        lt.select(*by, "_bkt").dropDuplicates([*by, "_bkt"])
+        .withColumn("_tag", F.lit(0))
+        .withColumn("_tail", _null_of(right, rstruct))
+        .withColumn("_head", _null_of(right, rstruct))
+    )
+    marks = lbkt.unionByName(rsum.select(*lbkt.columns))
+    # prev-tail: tags ascending puts the left marker BEFORE the same
+    # bucket's right summary, so a marker's running frame sees only
+    # strictly-earlier buckets' tails (same-bucket rights were already
+    # handled in phase 1)
+    w_prev = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("_bkt").asc_nulls_first(), F.col("_tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # next-head: tags DESCENDING puts the right summary before the
+    # marker, so the marker's following frame sees only strictly-later
+    # buckets' heads
+    w_next = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("_bkt").asc_nulls_first(), F.col("_tag").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carry = (
+        marks.withColumn("_prev_tail", F.last("_tail", ignorenulls=True).over(w_prev))
+        .withColumn("_next_head", F.first("_head", ignorenulls=True).over(w_next))
+        .filter(F.col("_tag") == 0)
+        .select(*by, "_bkt", "_prev_tail", "_next_head")
+    )
+    # null-safe on _bkt (and the carry build keeps NULL-on left rows'
+    # null bucket as a marker row) so left rows with NULL `on` survive
+    # the join; their match is nulled below exactly as the base does
+    cond = [lrows["_bkt"].eqNullSafe(carry["_bkt"])]
+    for k in by:
+        cond.append(lrows[k].eqNullSafe(carry[k]))
+    joined = lrows.join(carry, cond, "left").drop(carry["_bkt"])
+    for k in by:
+        joined = joined.drop(carry[k])
+
+    back_cand = F.coalesce(F.col("_inb_back"), F.col("_prev_tail"))
+    fwd_cand = F.coalesce(F.col("_inb_fwd"), F.col("_next_head"))
+
+    def _diff(match: Column) -> Column:
+        return axis_l(F.col("_on")) - axis_l(match[on])
+
+    def _within(match: Column) -> Column:
+        if tolerance is None:
+            return match
+        d = _diff(match)
+        return F.when(d.isNotNull() & (F.abs(d) <= F.lit(tolerance)), match)
+
+    if direction == "backward":
+        matched = _within(back_cand)
+    elif direction == "forward":
+        matched = _within(fwd_cand)
+    else:
+        db, df_ = F.abs(_diff(back_cand)), F.abs(_diff(fwd_cand))
+        nearest = (
+            F.when(back_cand.isNull(), fwd_cand)
+            .when(fwd_cand.isNull(), back_cand)
+            .when(df_ < db, fwd_cand)  # tie -> backward
+            .otherwise(back_cand)
+        )
+        matched = _within(nearest)
+    matched = F.when(F.col("_on").isNotNull(), matched)
+
+    out = joined.withColumn("_match", matched)
     projected = [F.col(f"_lrow.{c}").alias(c) for c in left.columns] + [
         F.col("_match")[c].alias(payload_names[c]) for c in payload
     ]

@@ -269,3 +269,131 @@ class TestPlanShape:
             ).fetchall()
         )
         assert got == want
+
+
+class TestBucketed:
+    """asof_join_bucketed must be OBSERVABLY identical to asof_join —
+    every test here is an equivalence check against the unbucketed
+    operator (itself brute-force- and DuckDB-verified above) — while
+    bounding the hot-key window partition to one bucket's rows."""
+
+    def _assert_equiv(self, l, r, **kw):
+        from opentelemetry_collector_spark.operators import (
+            asof_join,
+            asof_join_bucketed,
+        )
+
+        base = asof_join(l, r, **{k: v for k, v in kw.items() if k != "bucket_width"})
+        buck = asof_join_bucketed(l, r, **kw)
+        assert base.columns == buck.columns
+        a = sorted(map(tuple, base.collect()))
+        b = sorted(map(tuple, buck.collect()))
+        assert a == b, f"bucketed != base for {kw}\nbase={a[:5]}\nbuck={b[:5]}"
+
+    @pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+    @pytest.mark.parametrize("width", [60.0, 240.0, 1e9])
+    def test_fixed_frames_equivalent(self, frames, direction, width):
+        # width=60s: every minute its own bucket -> maximal carry
+        # traffic; width=1e9: everything in one bucket -> pure phase 1
+        l, r = frames
+        self._assert_equiv(
+            l, r, on="ts", by="key", direction=direction, bucket_width=width
+        )
+
+    @pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+    def test_randomized_equivalent(self, spark, direction):
+        import random
+
+        rng = random.Random(20260819)
+        lrows = [
+            (i, rng.choice("abcd"), float(rng.randint(0, 1000)))
+            for i in range(300)
+        ]
+        # null-on left rows and empty-bucket stretches
+        lrows += [(1000 + i, rng.choice("abcd"), None) for i in range(5)]
+        rrows = [
+            (i, rng.choice("abcde"), float(rng.randint(0, 1000)))
+            for i in range(200)
+        ]
+        l = spark.createDataFrame(lrows, "id long, key string, t double")
+        r = spark.createDataFrame(rrows, "rid long, key string, t double")
+        # dedupe right per (key, t) so ties are deterministic (the
+        # documented caveat for BOTH operators)
+        r = r.groupBy("key", "t").agg(F.max("rid").alias("rid"))
+        for width in (37.0, 500.0):
+            self._assert_equiv(
+                l, r, on="t", by="key", direction=direction,
+                bucket_width=width, tolerance=80.0,
+            )
+
+    def test_hot_key_partition_bounded(self, spark):
+        """One 'viral' key holding ~60% of all rows: phase 1 must split
+        it across time buckets — the largest (key, bucket) window group
+        stays bounded by the bucket's row budget while the unbucketed
+        operator would put ALL hot rows in one window partition."""
+        import random
+
+        from opentelemetry_collector_spark.operators import asof_join_bucketed
+
+        rng = random.Random(7)
+        n_hot, n_cold = 3000, 2000
+        lrows = [(i, "viral", float(rng.randint(0, 10_000))) for i in range(n_hot)]
+        lrows += [
+            (n_hot + i, f"k{rng.randint(0, 99)}", float(rng.randint(0, 10_000)))
+            for i in range(n_cold)
+        ]
+        rrows = [(i, "viral", float(i * 7 % 10_000)) for i in range(1000)]
+        rrows += [(1000 + i, f"k{i % 100}", float(i * 13 % 10_000)) for i in range(500)]
+        l = spark.createDataFrame(lrows, "id long, key string, t double")
+        r = (
+            spark.createDataFrame(rrows, "rid long, key string, t double")
+            .groupBy("key", "t").agg(F.max("rid").alias("rid"))
+        )
+        width = 500.0  # 10k span / 500 = 20 buckets for the hot key
+        out = asof_join_bucketed(l, r, on="t", by="key", bucket_width=width)
+        # correctness on the skewed input
+        from opentelemetry_collector_spark.operators import asof_join
+
+        assert sorted(map(tuple, out.collect())) == sorted(
+            map(tuple, asof_join(l, r, on="t", by="key").collect())
+        )
+        # the bound: no (key, bucket) group exceeds its own rows-in-
+        # bucket budget. Verify against the data itself: max rows any
+        # single window partition holds is max over (key, bucket) of
+        # left+right rows — with 20 buckets the hot key's worst group
+        # must be well under its total row count.
+        both = l.select("key", F.floor(F.col("t") / width).alias("b")).unionAll(
+            r.select("key", F.floor(F.col("t") / width).alias("b"))
+        )
+        worst = both.groupBy("key", "b").count().agg(F.max("count")).first()[0]
+        hot_total = n_hot + 1000
+        assert worst < hot_total / 4, (worst, hot_total)
+
+    def test_window_partitions_by_bucket_in_plan(self, spark):
+        """The phase-1 window's partition spec must include the bucket
+        column — the literal mechanism that bounds a hot key."""
+        from opentelemetry_collector_spark.operators import asof_join_bucketed
+
+        l = spark.createDataFrame([(1, "a", 5.0)], "id long, key string, t double")
+        r = spark.createDataFrame([(2, "a", 3.0)], "rid long, key string, t double")
+        plan = asof_join_bucketed(
+            l, r, on="t", by="key", bucket_width=10.0
+        )._jdf.queryExecution().executedPlan().toString()
+        win = [ln for ln in plan.splitlines() if "Window" in ln and "_bkt" in ln]
+        assert win, plan
+
+    def test_bad_bucket_width_raises(self, frames):
+        from opentelemetry_collector_spark.operators import asof_join_bucketed
+
+        l, r = frames
+        with pytest.raises(ValueError, match="bucket_width"):
+            asof_join_bucketed(l, r, on="ts", by="key", bucket_width=0.0)
+
+    def test_tolerance_and_timestamps(self, frames):
+        # timestamp axis + tolerance through the bucketed path
+        for direction in ("backward", "forward", "nearest"):
+            l, r = frames
+            self._assert_equiv(
+                l, r, on="ts", by="key", direction=direction,
+                bucket_width=300.0, tolerance=240.0,
+            )
