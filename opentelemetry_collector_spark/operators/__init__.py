@@ -1,7 +1,7 @@
 from .asof import asof_join, asof_join_bucketed, numeric_axis
 from .attributes import Action, AttributesProcessor, apply_actions_to_map
 from .rangejoin import interval_overlap_join, point_in_interval_join
-from .rollup import clear_level_caches, rollup_cascade
+from .rollup import clear_level_caches, percentile_rollup, rollup_cascade
 from .filters import (
     AttributeCondition,
     MatchProperties,
@@ -35,6 +35,7 @@ __all__ = [
     "interval_overlap_join",
     "point_in_interval_join",
     "rollup_cascade",
+    "percentile_rollup",
     "clear_level_caches",
     "Action",
     "AttributesProcessor",

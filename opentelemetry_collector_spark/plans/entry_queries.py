@@ -392,6 +392,18 @@ FROM ({_oracle_metric_filter_names()})
 """
 
 
+# DDSketch binning constants shared verbatim by the Spark query and
+# the DuckDB oracle (both engines consume the same Python-computed
+# double literals, so the only cross-engine float surface is ln/pow,
+# whose ≤1-ulp spread is absorbed by the coarse round(…, 3) below)
+_PCT_ALPHA = 0.01
+_PCT_GAMMA = (1.0 + _PCT_ALPHA) / (1.0 - _PCT_ALPHA)
+import math as _math
+
+_PCT_LN_G = _math.log(_PCT_GAMMA)
+_PCT_REP = 2.0 * _PCT_GAMMA / (_PCT_GAMMA + 1.0)
+
+
 def q_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-resolution rollup (5 min → 1 h → 1 d)
     over events via the cascade operator — each coarser level
@@ -399,14 +411,28 @@ def q_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 300 s slice reproduces the former ``agg_window_5min`` row
     exactly (that row consolidated into this one); the coarser levels
     pin the cascade's re-aggregation rules (sum of counts, exact
-    derived avg, max of maxes) against a direct GROUP BY oracle.
-    Decimal value column so sums are order-independent in both
-    engines."""
-    from ..operators import rollup_cascade
+    derived avg, max of maxes, set-union distinct) against a direct
+    GROUP BY oracle. ``u_distinct`` is the EXACT distinct-user
+    cascade (collect_set → set-union — the non-cascadable measure the
+    operator used to refuse); the HLL sketch variant of the same
+    measure is error-bound-tested in tests/test_rollup.py (a DuckDB
+    oracle can't reproduce DataSketches estimates bit-for-bit).
+    p50/p95/p99 come from the DDSketch-style log-histogram cascade
+    (``percentile_rollup``) joined on the same grain; the oracle
+    replays the identical binning/selection math in SQL, so the row
+    checks my cascade against an independent implementation of the
+    same sketch. Decimal value column so sums are order-independent
+    in both engines."""
+    from ..operators import percentile_rollup, rollup_cascade
 
     _register(spark, sf_dir, "events")
+    levels = (300.0, 3600.0, 86400.0)
     e = spark.table("events").select(
-        "ts", "event_type", F.col("value").cast("decimal(20,6)").alias("v")
+        "ts",
+        "event_type",
+        F.col("value").cast("decimal(20,6)").alias("v"),
+        "user_id",
+        "value",
     )
     out = rollup_cascade(
         e,
@@ -417,13 +443,30 @@ def q_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v_sum": ("sum", "v"),
             "v_avg": ("avg", "v"),
             "v_max": ("max", "v"),
+            "u_distinct": ("distinct", "user_id"),
         },
-        levels=(300.0, 3600.0, 86400.0),
+        levels=levels,
     )
+    pct = percentile_rollup(
+        e,
+        ts="ts",
+        keys="event_type",
+        value="value",
+        levels=levels,
+        percentiles=(0.5, 0.95, 0.99),
+        alpha=_PCT_ALPHA,
+    ).select(
+        "level_sec", "bucket_start", "event_type", "p50", "p95", "p99"
+    )
+    joined = out.join(pct, ["level_sec", "bucket_start", "event_type"], "inner")
     # round(6) on every emitted double — the repo-wide oracle-parity
     # convention: BigDecimal.doubleValue (Spark) vs int128/10^scale
-    # (DuckDB) conversions can differ by 1 ulp on >15-digit sums
-    return out.select(
+    # (DuckDB) conversions can differ by 1 ulp on >15-digit sums.
+    # Percentiles round to 3: their value chain crosses engine libm
+    # pow (≤ ~1.5 ulp spread at magnitude ~500); 3 decimals keeps the
+    # flip probability ~1e-10/value while the unrounded alpha bound is
+    # pinned by pytest.
+    return joined.select(
         "level_sec",
         "bucket_start",
         "event_type",
@@ -431,14 +474,84 @@ def q_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("v_sum").cast("double"), 6).alias("v_sum"),
         F.round(F.col("v_avg").cast("double"), 6).alias("v_avg"),
         F.round(F.col("v_max").cast("double"), 6).alias("v_max"),
+        "u_distinct",
+        F.round(F.col("p50"), 3).alias("p50"),
+        F.round(F.col("p95"), 3).alias("p95"),
+        F.round(F.col("p99"), 3).alias("p99"),
     )
 
 
 def _oracle_rollup_multires() -> str:
+    """The sum/avg/max/count half cascades in SQL exactly as the
+    operator does; distinct and percentiles are computed DIRECTLY from
+    raw at every resolution — the semantic definition the cascade must
+    equal (set-union and histogram merge are exact, so cascade ==
+    direct; tests/test_rollup.py pins that equality independently).
+    The percentile half replays the identical DDSketch binning with
+    the same Python-computed gamma/ln_g/rep literals the Spark side
+    uses."""
     epoch = _DUCK_EPOCH.format(col="ts")
+    off = 1 << 40
+    g, ln_g, rep = repr(_PCT_GAMMA), repr(_PCT_LN_G), repr(_PCT_REP)
+
+    def udist(w: int) -> str:
+        return f"""(
+  SELECT CAST(es // {w} * {w} AS BIGINT) AS bucket_start, event_type,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS u_distinct
+  FROM b GROUP BY 1, 2
+)"""
+
+    def pct(w: int) -> str:
+        def est(col: str) -> str:
+            return f"""round(CASE
+        WHEN {col} > 0 THEN round({rep} * power({g}, {col} - {off} - 1), 9)
+        WHEN {col} = 0 THEN 0.0
+        ELSE -round({rep} * power({g}, -{col} - {off} - 1), 9) END, 3)"""
+
+        return f"""(
+  WITH h AS (
+    SELECT CAST(es // {w} * {w} AS BIGINT) AS bucket_start, event_type,
+           CASE WHEN x > 0 THEN CAST(ceil(ln(x) / {ln_g}) AS BIGINT) + {off}
+                WHEN x = 0 THEN 0
+                ELSE -(CAST(ceil(ln(-x) / {ln_g}) AS BIGINT) + {off}) END AS o,
+           count(*) AS cnt
+    FROM b WHERE x IS NOT NULL GROUP BY 1, 2, 3
+  ), c AS (
+    SELECT bucket_start, event_type, o,
+           sum(cnt) OVER (PARTITION BY bucket_start, event_type
+                          ORDER BY o) AS cum,
+           sum(cnt) OVER (PARTITION BY bucket_start, event_type) AS nn
+    FROM h
+  ), q AS (
+    SELECT bucket_start, event_type,
+           min(CASE WHEN cum >= ceil(0.5 * nn) THEN o END) AS b50,
+           min(CASE WHEN cum >= ceil(0.95 * nn) THEN o END) AS b95,
+           min(CASE WHEN cum >= ceil(0.99 * nn) THEN o END) AS b99
+    FROM c GROUP BY 1, 2
+  )
+  SELECT bucket_start, event_type, {est('b50')} AS p50,
+         {est('b95')} AS p95, {est('b99')} AS p99
+  FROM q
+)"""
+
+    def level(w: int, src: str) -> str:
+        return f"""
+SELECT CAST({w}.0 AS DOUBLE) AS level_sec, l.bucket_start, l.event_type,
+       l.n, round(CAST(l.sv AS DOUBLE), 6) AS v_sum,
+       CASE WHEN l.cv = 0 THEN NULL
+            ELSE round(CAST(l.sv AS DOUBLE) / l.cv, 6) END AS v_avg,
+       round(CAST(l.mv AS DOUBLE), 6) AS v_max,
+       u.u_distinct, p.p50, p.p95, p.p99
+FROM {src} l
+JOIN {udist(w)} u
+  ON u.bucket_start = l.bucket_start AND u.event_type = l.event_type
+JOIN {pct(w)} p
+  ON p.bucket_start = l.bucket_start AND p.event_type = l.event_type"""
+
     return f"""
 WITH b AS (
-  SELECT {epoch} AS es, event_type, CAST(value AS DECIMAL(20,6)) AS v
+  SELECT {epoch} AS es, event_type, CAST(value AS DECIMAL(20,6)) AS v,
+         user_id, value AS x
   FROM events
 ), l1 AS (
   SELECT CAST(es // 300 * 300 AS BIGINT) AS bucket_start, event_type,
@@ -456,26 +569,11 @@ WITH b AS (
          sum(cv) AS cv, max(mv) AS mv
   FROM l2 GROUP BY 1, 2
 )
-SELECT CAST(300.0 AS DOUBLE) AS level_sec, bucket_start, event_type, n,
-       round(CAST(sv AS DOUBLE), 6) AS v_sum,
-       CASE WHEN cv = 0 THEN NULL
-            ELSE round(CAST(sv AS DOUBLE) / cv, 6) END AS v_avg,
-       round(CAST(mv AS DOUBLE), 6) AS v_max
-FROM l1
+{level(300, 'l1')}
 UNION ALL
-SELECT CAST(3600.0 AS DOUBLE), bucket_start, event_type, n,
-       round(CAST(sv AS DOUBLE), 6),
-       CASE WHEN cv = 0 THEN NULL
-            ELSE round(CAST(sv AS DOUBLE) / cv, 6) END,
-       round(CAST(mv AS DOUBLE), 6)
-FROM l2
+{level(3600, 'l2')}
 UNION ALL
-SELECT CAST(86400.0 AS DOUBLE), bucket_start, event_type, n,
-       round(CAST(sv AS DOUBLE), 6),
-       CASE WHEN cv = 0 THEN NULL
-            ELSE round(CAST(sv AS DOUBLE) / cv, 6) END,
-       round(CAST(mv AS DOUBLE), 6)
-FROM l3
+{level(86400, 'l3')}
 """
 
 

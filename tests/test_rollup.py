@@ -125,7 +125,7 @@ class TestValidation:
             rollup_cascade(raw, keys="k", measures=MEASURES, levels=[3600, 60])
 
     def test_rejects_non_cascadable_aggregate(self, raw):
-        with pytest.raises(ValueError, match="not exactly cascadable"):
+        with pytest.raises(ValueError, match="not cascadable"):
             rollup_cascade(
                 raw, keys="k",
                 measures={"u": ("count_distinct", "v")}, levels=[60],
@@ -209,3 +209,234 @@ class TestPlanShape:
         ra = sorted(map(lambda r: r.asDict(), a.collect()), key=key)
         rb = sorted(map(lambda r: r.asDict(), b.collect()), key=key)
         assert ra == rb
+
+
+class TestDistinctCascade:
+    """distinct / approx_distinct measures: the carried state (key set /
+    HLL sketch) must merge EXACTLY up the cascade — every level equals a
+    direct COUNT(DISTINCT) over raw at that resolution."""
+
+    @pytest.fixture(scope="class")
+    def udf_raw(self, spark):
+        rng = random.Random(77)
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (
+                base + dt.timedelta(seconds=rng.randint(0, 3 * 86400)),
+                rng.choice(["a", "b"]),
+                rng.randint(0, 40),
+            )
+            for _ in range(1500)
+        ]
+        rows += [(base + dt.timedelta(seconds=10), "a", None)] * 4  # nulls
+        return spark.createDataFrame(
+            rows, "ts timestamp, k string, uid int"
+        ).cache()
+
+    @pytest.fixture(scope="class")
+    def rolled(self, udf_raw):
+        return rollup_cascade(
+            udf_raw,
+            ts="ts",
+            keys="k",
+            measures={"u": ("distinct", "uid"), "ua": ("approx_distinct", "uid")},
+            levels=LEVELS,
+        ).cache()
+
+    @pytest.mark.parametrize("width", LEVELS)
+    def test_exact_distinct_equals_direct(self, udf_raw, rolled, width):
+        b = (
+            F.floor(F.unix_micros(F.col("ts")) / F.lit(1e6) / F.lit(width))
+            * F.lit(int(width))
+        ).cast("long")
+        want = {
+            (r["bucket_start"], r["k"]): r["u"]
+            for r in udf_raw.groupBy(b.alias("bucket_start"), "k")
+            .agg(F.count_distinct(F.col("uid")).alias("u"))
+            .collect()
+        }
+        got = {
+            (r["bucket_start"], r["k"]): r["u"]
+            for r in rolled.filter(F.col("level_sec") == width).collect()
+        }
+        assert got == want
+
+    @pytest.mark.parametrize("width", LEVELS)
+    def test_hll_estimate_within_bound(self, udf_raw, rolled, width):
+        """DataSketches HLL at Spark's default lgConfigK=12 has ~1.6%
+        standard error; at these cardinalities (≤ 41, far below the
+        sparse→dense transition) it is exact — bound at 5% to stay
+        robust to implementation changes."""
+        b = (
+            F.floor(F.unix_micros(F.col("ts")) / F.lit(1e6) / F.lit(width))
+            * F.lit(int(width))
+        ).cast("long")
+        want = {
+            (r["bucket_start"], r["k"]): r["u"]
+            for r in udf_raw.groupBy(b.alias("bucket_start"), "k")
+            .agg(F.count_distinct(F.col("uid")).alias("u"))
+            .collect()
+        }
+        for r in rolled.filter(F.col("level_sec") == width).collect():
+            exact = want[(r["bucket_start"], r["k"])]
+            assert abs(r["ua"] - exact) <= max(1, 0.05 * exact), (
+                r["bucket_start"], r["k"], r["ua"], exact,
+            )
+
+    def test_all_null_group_counts_zero(self, spark):
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1), "a", None)],
+            "ts timestamp, k string, uid int",
+        )
+        out = rollup_cascade(
+            df, ts="ts", keys="k",
+            measures={"u": ("distinct", "uid"), "ua": ("approx_distinct", "uid")},
+            levels=[60.0], cache_levels=False,
+        ).collect()
+        assert len(out) == 1 and out[0]["u"] == 0 and out[0]["ua"] == 0
+
+    def test_rejects_star_column(self, udf_raw):
+        with pytest.raises(ValueError, match="concrete column"):
+            rollup_cascade(
+                udf_raw, keys="k",
+                measures={"u": ("distinct", "*")}, levels=[60],
+            )
+
+    def test_rejects_collision_with_generated_set_name(self, udf_raw):
+        with pytest.raises(ValueError, match="collides with the physical"):
+            rollup_cascade(
+                udf_raw, keys="k",
+                measures={"_u_set": ("sum", "uid"), "u": ("distinct", "uid")},
+                levels=[60],
+            )
+
+
+class TestPercentileRollup:
+    """DDSketch-style log-histogram percentile cascade: every level's
+    estimate must be within alpha relative error of the EXACT quantile
+    (lower-rank definition) computed over raw rows at that resolution,
+    including negative / zero / null values."""
+
+    ALPHA = 0.02
+
+    @pytest.fixture(scope="class")
+    def pct_raw(self, spark):
+        rng = random.Random(5150)
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        for _ in range(3000):
+            r = rng.random()
+            if r < 0.03:
+                v = 0.0
+            elif r < 0.08:
+                v = -rng.lognormvariate(1, 1.5)
+            elif r < 0.10:
+                v = None
+            else:
+                v = rng.lognormvariate(3, 2)
+            rows.append(
+                (base + dt.timedelta(seconds=rng.randint(0, 3 * 86400)),
+                 rng.choice(["a", "b"]), v)
+            )
+        return spark.createDataFrame(
+            rows, "ts timestamp, k string, v double"
+        ).cache()
+
+    @pytest.fixture(scope="class")
+    def rolled(self, pct_raw):
+        from opentelemetry_collector_spark.operators import percentile_rollup
+
+        return percentile_rollup(
+            pct_raw, ts="ts", keys="k", value="v", levels=LEVELS,
+            percentiles=(0.5, 0.95, 0.99), alpha=self.ALPHA,
+        ).cache()
+
+    @pytest.mark.parametrize("width", LEVELS)
+    def test_every_group_within_alpha(self, pct_raw, rolled, width):
+        import math
+
+        groups = {}
+        for r in pct_raw.filter(F.col("v").isNotNull()).collect():
+            b = int(r["ts"].replace(tzinfo=dt.timezone.utc).timestamp() // width * width)
+            groups.setdefault((b, r["k"]), []).append(r["v"])
+        got = {
+            (r["bucket_start"], r["k"]): r
+            for r in rolled.filter(F.col("level_sec") == width).collect()
+        }
+        assert set(got) == set(groups)
+        for key, vals in groups.items():
+            vals.sort()
+            row = got[key]
+            assert row["n"] == len(vals)
+            for q, col in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+                true = vals[math.ceil(q * len(vals)) - 1]
+                est = row[col]
+                if true == 0:
+                    assert est == 0, (key, q, est)
+                else:
+                    assert abs(est - true) <= self.ALPHA * abs(true) * 1.0001, (
+                        key, q, true, est,
+                    )
+
+    def test_cascade_matches_direct_finest_restart(self, pct_raw):
+        """Coarser levels re-aggregate the finer histogram; the result
+        must be IDENTICAL to running the sketch directly over raw at
+        the coarse resolution (histogram merge is exact)."""
+        from opentelemetry_collector_spark.operators import percentile_rollup
+
+        casc = percentile_rollup(
+            pct_raw, ts="ts", keys="k", value="v",
+            levels=[60.0, 86400.0], alpha=self.ALPHA, cache_levels=False,
+        ).filter(F.col("level_sec") == 86400.0)
+        direct = percentile_rollup(
+            pct_raw, ts="ts", keys="k", value="v",
+            levels=[86400.0], alpha=self.ALPHA, cache_levels=False,
+        )
+        key = lambda r: (r["bucket_start"], r["k"])
+        assert sorted(map(tuple, casc.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+
+    def test_raw_scanned_once(self, spark, tmp_path):
+        """Same O(raw + finest) plan property as rollup_cascade: one
+        aggregate shuffle stage per level, coarser branches read the
+        cached finer histogram."""
+        import re
+
+        from opentelemetry_collector_spark.operators import percentile_rollup
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (base + dt.timedelta(seconds=i * 37), "k", float(i % 100 + 1))
+            for i in range(400)
+        ]
+        path = str(tmp_path / "praw")
+        spark.createDataFrame(rows, "ts timestamp, k string, v double").write.parquet(path)
+        out = percentile_rollup(
+            spark.read.parquet(path), ts="ts", keys="k", value="v",
+            levels=LEVELS, alpha=0.01,
+        )
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        stages = set(re.findall(r"ShuffleQueryStage (\d+)", plan))
+        # one partial-agg shuffle per level + the extraction window's
+        # exchange over the unioned histogram + the final extraction
+        # aggregate; an uncached cascade re-derives the finer levels
+        # inside every branch (~2x the stages) and fails this bound
+        assert len(stages) <= len(LEVELS) + 2, plan
+        assert "InMemoryTableScan" in plan
+
+    def test_validation(self, pct_raw):
+        from opentelemetry_collector_spark.operators import percentile_rollup
+
+        with pytest.raises(ValueError, match="alpha"):
+            percentile_rollup(pct_raw, keys="k", value="v", alpha=1.5)
+        with pytest.raises(ValueError, match="fractions"):
+            percentile_rollup(pct_raw, keys="k", value="v", percentiles=[50.0])
+        with pytest.raises(ValueError, match="divide the next"):
+            percentile_rollup(pct_raw, keys="k", value="v", levels=[60, 90])
+        with pytest.raises(ValueError, match="unique"):
+            percentile_rollup(
+                pct_raw, keys="k", value="v",
+                percentiles=[0.5, 0.9], names=["p", "p"],
+            )
