@@ -56,6 +56,7 @@ __all__ = [
     "DUP_NGRAM_NS",
     "GOPHER_THRESHOLDS",
     "repetition_metrics_py",
+    "repetition_metrics_np",
     "repetition_metrics",
     "gopher_repetition_filter",
 ]
@@ -164,9 +165,120 @@ def repetition_metrics_py(text: str | None) -> dict[str, float]:
     return out
 
 
+# Token count above which the numpy n-gram path beats the Counter
+# path (np.unique's O(m log m) C sort amortizes its per-call setup
+# around a few hundred tokens; measured crossover in
+# tests/test_repetition.py's benchmark note).
+_NP_MIN_TOKENS = 512
+
+
+def _ngram_fracs_np(tokens: list[str], total_chars: int) -> dict[str, float]:
+    """EXACT numpy reimplementation of the n-gram half of
+    ``repetition_metrics_py`` — no hashing, no approximation: n-gram
+    identities are integer codes built by chaining ``np.unique``
+    inverse indices (the code of an n-gram is (code of its (n-1)-gram
+    prefix) * #distinct-tokens + (last token id), unique-compressed at
+    each step so codes never overflow int64 for any m < 2^31 tokens).
+    Counts come from ``np.bincount``; gram character lengths from a
+    cumulative-sum window (every occurrence of a gram has the same
+    ``len(' '.join(window))``, so a per-gram scatter is well-defined).
+    All numerators/denominators stay exact int64 — bit-identical to
+    the Counter path, property-tested in tests/test_repetition.py.
+
+    Why it exists: profiling (round 5) showed 97% of this operator's
+    Python CPU is Counter-based n-gram counting (line/para stats are
+    3%, so moving THOSE to Catalyst — the r4 suggestion — wins
+    nothing). For large documents the sort-based path cuts the per-doc
+    CPU several-fold, which is what matters when this is the curation
+    hot loop at 100 TB; small docs keep the Counter path, which wins
+    under ~512 tokens."""
+    import numpy as np
+
+    m = len(tokens)
+    out: dict[str, float] = {}
+    uniq_toks, inv = np.unique(np.asarray(tokens, dtype=object), return_inverse=True)
+    inv = inv.astype(np.int64, copy=False)
+    n_tok = len(uniq_toks)
+    lens = np.fromiter((len(t) for t in tokens), dtype=np.int64, count=m)
+    cs = np.concatenate(([0], np.cumsum(lens)))
+    gid = inv  # n=1 gram ids; extended one token at a time below
+    for n in range(2, max(DUP_NGRAM_NS) + 1):
+        key = (
+            f"top_{n}gram_char_frac"
+            if n in TOP_NGRAM_NS
+            else f"dup_{n}gram_char_frac"
+        )
+        if m < n:
+            if n in TOP_NGRAM_NS or n in DUP_NGRAM_NS:
+                out[key] = 0.0
+            continue
+        code = gid[: m - n + 1] * n_tok + inv[n - 1 :]
+        _, gid = np.unique(code, return_inverse=True)
+        gid = gid.astype(np.int64, copy=False)
+        if n not in TOP_NGRAM_NS and n not in DUP_NGRAM_NS:
+            continue
+        counts = np.bincount(gid)
+        # len(" ".join(window)) per position; identical for every
+        # occurrence of the same gram
+        poslen = cs[n:] - cs[:-n] + (n - 1)
+        gram_len = np.zeros(len(counts), dtype=np.int64)
+        gram_len[gid] = poslen
+        if n in TOP_NGRAM_NS:
+            mx = int(counts.max())
+            covered = mx * int(gram_len[counts == mx].max())
+        else:
+            dup = counts > 1
+            covered = int((counts[dup] * gram_len[dup]).sum())
+        out[key] = covered / total_chars
+    return out
+
+
+def repetition_metrics_np(text: str | None) -> dict[str, float]:
+    """Large-document variant of ``repetition_metrics_py``: identical
+    output (exact, not approximate — see ``_ngram_fracs_np``), numpy
+    n-gram counting, Counter line/para stats (3% of the CPU)."""
+    if not text:
+        out: dict[str, float] = {f: 0.0 for f in METRIC_FIELDS}
+        out["n_lines"] = 0
+        return out
+
+    lines = [l for l in (x.strip(_LINE_STRIP) for x in text.split("\n")) if l]
+    paras = [p for p in (x.strip(_PARA_STRIP) for x in text.split("\n\n")) if p]
+    n_lines, dup_line_frac, dup_line_char_frac = _unit_stats(lines)
+    _, dup_para_frac, dup_para_char_frac = _unit_stats(paras)
+
+    tokens = text.split()
+    m = len(tokens)
+    total_chars = sum(len(t) for t in tokens) + max(0, m - 1)
+    out = {
+        "n_lines": n_lines,
+        "dup_line_frac": dup_line_frac,
+        "dup_line_char_frac": dup_line_char_frac,
+        "dup_para_frac": dup_para_frac,
+        "dup_para_char_frac": dup_para_char_frac,
+    }
+    if total_chars == 0:
+        for n in TOP_NGRAM_NS + DUP_NGRAM_NS:
+            k = (
+                f"top_{n}gram_char_frac"
+                if n in TOP_NGRAM_NS
+                else f"dup_{n}gram_char_frac"
+            )
+            out[k] = 0.0
+        return out
+    out.update(_ngram_fracs_np(tokens, total_chars))
+    return out
+
+
+def _metrics_one(t: str | None) -> dict[str, float]:
+    if t and t.count(" ") >= _NP_MIN_TOKENS:  # cheap token-count proxy
+        return repetition_metrics_np(t)
+    return repetition_metrics_py(t)
+
+
 @F.pandas_udf(_SCHEMA)
 def _metrics_udf(s: pd.Series) -> pd.DataFrame:
-    rows = [repetition_metrics_py(t) for t in s]
+    rows = [_metrics_one(t) for t in s]
     df = pd.DataFrame(rows, columns=list(METRIC_FIELDS))
     df["n_lines"] = df["n_lines"].astype("int32")
     return df

@@ -254,3 +254,52 @@ ORDER BY doc_id
             assert dlf == pytest.approx(want["dup_line_frac"]), doc_id
             assert dlcf == pytest.approx(want["dup_line_char_frac"]), doc_id
             assert t2 == pytest.approx(want["top_2gram_char_frac"]), doc_id
+
+
+class TestNumpyFastPath:
+    """repetition_metrics_np is an EXACT reimplementation (integer
+    gram codes via chained np.unique — no hashing), used by the UDF
+    above _NP_MIN_TOKENS. Profile record (round 5, sf0.1 documents):
+    the Counter n-gram loop is 97% of the operator's Python CPU
+    (line/para stats 3%); the numpy path measured ~3x faster at 512
+    tokens and ~3.5x at 20k tokens, crossover ~100-500 tokens —
+    hence the 512-token dispatch."""
+
+    @given(
+        st.lists(
+            st.text(alphabet="ab \n", min_size=0, max_size=12),
+            min_size=0,
+            max_size=10,
+        )
+    )
+    @settings(max_examples=80, deadline=None)
+    def test_np_equals_py_exactly(self, parts):
+        from opentelemetry_collector_spark.trainingdata.repetition import (
+            repetition_metrics_np,
+        )
+
+        text = "\n".join(parts)
+        assert repetition_metrics_np(text) == repetition_metrics_py(text)
+        assert repetition_metrics_np(text + "\n\n" + text) == (
+            repetition_metrics_py(text + "\n\n" + text)
+        )
+
+    def test_np_equals_py_on_structured_cases(self):
+        import random
+
+        from opentelemetry_collector_spark.trainingdata.repetition import (
+            repetition_metrics_np,
+        )
+
+        rng = random.Random(321)
+        vocab = ["tok%d" % i for i in range(30)] + ["a", "xx", "<>", "日本"]
+        cases = [None, "", "a", "a a a a a a a a", "x " * 2000]
+        for _ in range(60):
+            m = rng.choice([1, 2, 4, 9, 10, 11, 64, 600, 1500])
+            cases.append(" ".join(rng.choice(vocab) for _ in range(m)))
+        # long doc: exercises the dispatch threshold inside the UDF path
+        cases.append(" ".join("w%d" % (i % 3) for i in range(5000)))
+        for t in cases:
+            assert repetition_metrics_np(t) == repetition_metrics_py(t), (
+                t[:50] if t else t
+            )
