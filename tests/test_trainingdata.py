@@ -417,14 +417,22 @@ class TestHotBucketCap:
             minhash_lsh_pairs as mlp,
         )
 
+        from opentelemetry_collector_spark.trainingdata.dedup import (
+            DEFAULT_SIMHASH_BUCKET_LIMIT,
+        )
+
         assert DEFAULT_HOT_BUCKET_LIMIT == 1000
         assert (
             inspect.signature(mlp).parameters["hot_bucket_limit"].default
             == DEFAULT_HOT_BUCKET_LIMIT
         )
+        # simhash's cap is deliberately tighter: its buckets share a
+        # 15-17-bit key slice, not a full band signature, so big
+        # buckets are mostly hamming-rejects (see dedup.py constant)
         assert (
             inspect.signature(simhash_lsh_pairs).parameters["hot_bucket_limit"].default
-            == DEFAULT_HOT_BUCKET_LIMIT
+            == DEFAULT_SIMHASH_BUCKET_LIMIT
+            == 200
         )
         default = {
             (r["id_a"], r["id_b"], r["jaccard"])
@@ -1068,8 +1076,12 @@ class TestSimHashLsh:
         from opentelemetry_collector_spark.trainingdata import simhash_lsh_pairs
 
         import pytest as _pytest
+        # legacy single-band layout: recall guarantee caps at bands-1
         with _pytest.raises(ValueError, match="bands-1"):
-            simhash_lsh_pairs(docs, max_hamming=4, bands=4)
+            simhash_lsh_pairs(docs, max_hamming=4, bands=4, blocks=None)
+        # the default block scheme supports the same radius (C(6,2)
+        # tables) — just builds, no error
+        simhash_lsh_pairs(docs, max_hamming=4, cache_signatures=False).schema
 
 
 class TestSaltedAgg:
@@ -1284,3 +1296,114 @@ class TestPerplexityLM:
                 assert got[i] == self.py_ppl(text, ref_texts), (
                     corpus_idx, i, text
                 )
+
+
+class TestSimHashBlockScheme:
+    """The combinatorial block layout (default) must return pairs
+    IDENTICAL to the legacy single-band layout and to brute force —
+    banding only generates candidates; exact hamming verifies — while
+    using far wider keys (the scale fix for the n²/256 candidate join
+    the sf1 bench exposed)."""
+
+    @pytest.fixture(scope="class")
+    def near_dup_corpus(self, spark):
+        import random
+
+        rng = random.Random(404)
+        vocab = [f"w{i}" for i in range(400)]
+        rows = []
+        for i in range(120):
+            base = [rng.choice(vocab) for _ in range(60)]
+            rows.append((i * 10, " ".join(base), "s"))
+            if i % 3 == 0:  # a near-dup: flip a few tokens
+                mut = list(base)
+                for _ in range(2):
+                    mut[rng.randrange(len(mut))] = rng.choice(vocab)
+                rows.append((i * 10 + 1, " ".join(mut), "s"))
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).cache()
+
+    def test_blocked_equals_legacy_equals_brute(self, near_dup_corpus):
+        from opentelemetry_collector_spark.trainingdata import (
+            simhash_lsh_pairs,
+        )
+        from opentelemetry_collector_spark.trainingdata.dedup import (
+            hamming_distance,
+            simhash,
+        )
+
+        blocked = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_lsh_pairs(
+                near_dup_corpus, hot_bucket_limit=None,
+                cache_signatures=False,
+            ).collect()
+        }
+        legacy = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_lsh_pairs(
+                near_dup_corpus, hot_bucket_limit=None, blocks=None,
+                cache_signatures=False,
+            ).collect()
+        }
+        assert blocked == legacy
+        # brute force: all-pairs hamming over the codes
+        sh = near_dup_corpus.select(
+            "doc_id", simhash(F.col("text")).alias("sh")
+        )
+        a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
+        b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
+        brute = {
+            (r["id_a"], r["id_b"], r["h"])
+            for r in a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a", "id_b",
+                hamming_distance(F.col("sa"), F.col("sb")).alias("h"),
+            )
+            .filter(F.col("h") <= 3)
+            .collect()
+        }
+        assert blocked == brute
+        assert brute  # the corpus really has near-dups
+
+    def test_block_layout_covers_all_bits(self):
+        from opentelemetry_collector_spark.trainingdata.dedup import (
+            _block_layout,
+        )
+
+        for bits, blocks in ((32, 6), (64, 6), (32, 4), (17, 5)):
+            layout = _block_layout(bits, blocks)
+            assert sum(w for _s, w in layout) == bits
+            assert layout[0][0] == 0
+            for (s1, w1), (s2, _w2) in zip(layout, layout[1:]):
+                assert s2 == s1 + w1
+            assert max(w for _s, w in layout) - min(w for _s, w in layout) <= 1
+
+    def test_combo_count_and_key_width(self, near_dup_corpus):
+        """20 tables for 6 blocks / h=3, and the key space is the
+        concatenated block bits (15-17 bits at 32-bit codes) — the
+        property that keeps candidate volume collision-bound."""
+        from math import comb
+
+        from opentelemetry_collector_spark.trainingdata import (
+            simhash_exploded_bands,
+        )
+
+        ex = simhash_exploded_bands(near_dup_corpus, cache_signatures=False)
+        n_docs = near_dup_corpus.count()
+        assert ex.count() == n_docs * comb(6, 3)
+        assert ex.agg(F.max("band_idx")).first()[0] == comb(6, 3) - 1
+        assert ex.agg(F.max("band_key")).first()[0] < (1 << 17)
+
+    def test_blocks_must_exceed_hamming(self, near_dup_corpus):
+        from opentelemetry_collector_spark.trainingdata import (
+            simhash_lsh_pairs,
+        )
+
+        with pytest.raises(ValueError, match="blocks > max_hamming"):
+            simhash_lsh_pairs(
+                near_dup_corpus, blocks=3, max_hamming=3,
+                cache_signatures=False,
+            ).collect()
