@@ -29,6 +29,14 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # `range_session_errors` are new queries — so r4+ suite totals cover
 # strictly more work than r3; `query_cpu_secs` shows the corresponding
 # CPU increase is real work, not regression.
+#
+# Round 5: `rollup_multires` additionally computes an exact-distinct
+# cascade (collect_set/set-union) and joins a 3-level DDSketch
+# percentile cascade (p50/p95/p99) — ~3x its r4 wall at sf0.1, all of
+# it new work with its own oracle columns; `asof_attribution` runs the
+# two-phase bucketed (hot-key-safe) as-of variant; `td_simhash`
+# switches to the combinatorial block candidate layout (same result
+# set, scale-safe candidates — see the sf1 block for why).
 BENCH_QUERIES = [
     "pipeline_errors_agg",
     "pipeline_routed_rows",

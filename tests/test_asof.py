@@ -67,6 +67,8 @@ def frames(spark):
 
 
 class TestDirections:
+    # slow lane: brute-force direction matrix; the fast lane keeps TestEdges, TestPlanShape and TestBucketed's hot-key equivalence, plus the asof_attribution driver row
+    pytestmark = pytest.mark.slow
     @pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
     def test_matches_brute_force(self, frames, direction):
         l, r = frames
@@ -290,6 +292,8 @@ class TestBucketed:
         b = sorted(map(tuple, buck.collect()))
         assert a == b, f"bucketed != base for {kw}\nbase={a[:5]}\nbuck={b[:5]}"
 
+    # slow lane: bucketed==base matrix; the fast lane keeps the hot-key equivalence + plan tests
+    @pytest.mark.slow
     @pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
     @pytest.mark.parametrize("width", [60.0, 240.0, 1e9])
     def test_fixed_frames_equivalent(self, frames, direction, width):
@@ -300,6 +304,8 @@ class TestBucketed:
             l, r, on="ts", by="key", direction=direction, bucket_width=width
         )
 
+    # slow lane: randomized bucketed==base sweep
+    @pytest.mark.slow
     @pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
     def test_randomized_equivalent(self, spark, direction):
         import random
@@ -389,6 +395,8 @@ class TestBucketed:
         with pytest.raises(ValueError, match="bucket_width"):
             asof_join_bucketed(l, r, on="ts", by="key", bucket_width=0.0)
 
+    # slow lane: bucketed==base tolerance matrix
+    @pytest.mark.slow
     def test_tolerance_and_timestamps(self, frames):
         # timestamp axis + tolerance through the bucketed path
         for direction in ("backward", "forward", "nearest"):

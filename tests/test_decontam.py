@@ -202,6 +202,8 @@ class TestChunkDedup:
         assert got[0]["dup_chunks"] == 2 and got[0]["dup_fraction"] == 1.0
         assert got[1]["dup_chunks"] == 1
 
+    # slow lane: random-corpora parity; td_chunk_dedup driver row re-verifies
+    @pytest.mark.slow
     def test_property_parity_random_corpora(self, spark):
         """Hypothesis parity: contamination (auto short widths) and
         chunk_dedup_stats vs the pure-Python models on random

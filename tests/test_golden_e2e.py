@@ -15,6 +15,9 @@ pairwise since the product is small."""
 import itertools
 
 import pytest
+
+# slow lane: full goldendataset wire matrices; the driver's span/log/metric wire-roundtrip CORRECTNESS rows re-verify these e2e every round
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from opentelemetry_collector_spark.sources.jaeger_json import (

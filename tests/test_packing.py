@@ -134,6 +134,8 @@ class TestPackChunks:
         ),
         st.integers(1, 40),
     )
+    # slow lane: random-corpora parity; td_pack driver row re-verifies
+    @pytest.mark.slow
     @settings(max_examples=20, deadline=None)
     def test_matches_reference_on_random_corpora(self, spark, toks, budget):
         rows = [(part, i, tok) for i, (part, tok) in enumerate(toks)]

@@ -5,6 +5,10 @@ implementation. All generated cases for one property run in a SINGLE
 DataFrame so Spark executes once per test, not once per example."""
 
 import hashlib
+import pytest
+
+# slow lane: hypothesis action-parity properties; directed attribute-op tests stay fast
+pytestmark = pytest.mark.slow
 import re
 
 from hypothesis import given, settings, strategies as st

@@ -452,6 +452,8 @@ SPAN_KEY = [
 
 
 class TestSparkPath:
+    # slow lane: full proto wire roundtrips; the wire-matrix driver rows re-verify
+    pytestmark = pytest.mark.slow
     def test_otlp_logs_proto_round_trip(self, spark, tiny_transcripts):
         from pyspark.sql import functions as F
 

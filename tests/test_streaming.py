@@ -83,6 +83,8 @@ class TestStreamingPipeline:
         )
         assert wh.read_sink(spark, "errors").count() == expect_err
 
+    # slow lane: stream==batch on sf parquet; streaming_parity driver row re-verifies
+    @pytest.mark.slow
     def test_stream_equals_batch_on_sf_parquet(self, spark, tmp_path):
         """The stream==batch invariant (the strongest check available
         without a driver streaming oracle): replay the sf0.001 parquet

@@ -177,6 +177,8 @@ class TestIncrementalMinHash:
     filtered to pairs with ≥1 new endpoint — for every split of the
     corpus, including splits where the near-dup cluster straddes the
     index/batch boundary and splits where it doesn't."""
+    # slow lane: ingest-vs-batch parity corpora; td_incremental_dedup driver row re-verifies every round
+    pytestmark = pytest.mark.slow
 
     def _batch_pairs_touching(self, df, new_ids):
         rows = minhash_lsh_pairs(df, cache_signatures=False).collect()
@@ -538,6 +540,8 @@ def vectors(spark):
 
 
 class TestEmbeddingOps:
+    # slow lane: hyperplane/ANN recall sweeps; td_embed_near_dup + td_topk driver rows re-verify
+    pytestmark = pytest.mark.slow
     def test_near_dup_pairs_all(self, vectors):
         pairs = embedding_near_dup_pairs(vectors, threshold=0.99, use_lsh=False).collect()
         got = {(r["id_a"], r["id_b"]) for r in pairs}
@@ -836,6 +840,8 @@ class TestAssignSplit:
 
 
 class TestConnectedComponents:
+    # slow lane: large-star/small-star iteration corpora; td_dup_components driver row re-verifies
+    pytestmark = pytest.mark.slow
     @staticmethod
     def _union_find(n_nodes, edges):
         parent = {}
@@ -1140,6 +1146,8 @@ class TestIvf:
 
 class TestPerplexityLM:
     """CCNet-style bigram-LM perplexity (trainingdata.lm)."""
+    # slow lane: bigram-LM scoring corpora; td_perplexity driver row re-verifies
+    pytestmark = pytest.mark.slow
 
     REF = [
         (0, "the cat sat on the mat"),

@@ -14,6 +14,10 @@ Pure Python — no SparkSession fixture, safe to run standalone.
 """
 
 from __future__ import annotations
+import pytest
+
+# slow lane: hypothesis wire-codec properties; directed codec tests stay in the fast lane
+pytestmark = pytest.mark.slow
 
 import struct
 

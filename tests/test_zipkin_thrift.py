@@ -86,6 +86,8 @@ class TestCodec:
 
 
 class TestSparkPath:
+    # slow lane: thrift wire roundtrips; span_wire_roundtrips driver row re-verifies
+    pytestmark = pytest.mark.slow
     def test_thrift_request_to_spans(self, spark):
         df = spark.createDataFrame(
             [(bytearray(encode_span_list([SPAN])),)], "thrift binary"

@@ -5,6 +5,9 @@ shaped after status_code_test.go / zipkinv1_to_protospan_test.go."""
 import json
 
 import pytest
+
+# slow lane: v1 parse-rule matrix; the zipkin_v1 wires ride the span_wire_roundtrips driver row every round
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from opentelemetry_collector_spark.functions.status_codes import (
