@@ -201,12 +201,56 @@ def main() -> None:
 
             return simhash_lsh_pairs(read_table(spark, sf_dir, "documents"))
 
+        # same rationale for minhash: the driver query keeps the
+        # DuckDB-reproducible rolling hash for oracle parity, but the
+        # 100 TB path is xxhash64 — measure both at 10× so the
+        # oracle-vs-production CPU gap is on the record at scale.
+        def _minhash_production(spark, sf_dir):
+            from opentelemetry_collector_spark.sources.tables import (
+                read_table,
+            )
+            from opentelemetry_collector_spark.trainingdata import (
+                minhash_lsh_pairs,
+                production_hash,
+            )
+
+            return minhash_lsh_pairs(
+                read_table(spark, sf_dir, "documents"), hash_fn=production_hash
+            )
+
+        # and for decontam: grams cross the broadcast as xxhash64
+        # longs (hash_grams=True) instead of the oracle's strings
+        def _decontam_production(spark, sf_dir):
+            from opentelemetry_collector_spark.plans.trainingdata_queries import (
+                _register,
+            )
+            from opentelemetry_collector_spark.trainingdata import (
+                contamination,
+                split_bucket,
+            )
+            from opentelemetry_collector_spark.trainingdata.dedup import (
+                MINHASH_K,
+            )
+            from pyspark.sql import functions as F
+
+            _register(spark, sf_dir, "documents")
+            d = spark.table("documents")
+            bucket = split_bucket(F.col("doc_id"))
+            return contamination(
+                d.filter(bucket < 9800),
+                d.filter(bucket >= 9800),
+                n=MINHASH_K,
+                hash_grams=True,
+            )
+
         sf1_queries = [
             ("pipeline_errors_agg", QUERIES["pipeline_errors_agg"]),
             ("rollup_multires", QUERIES["rollup_multires"]),
             ("td_minhash_lsh_pairs", QUERIES["td_minhash_lsh_pairs"]),
+            ("td_minhash_production", _minhash_production),
             ("td_simhash_production", _simhash_production),
             ("td_decontam", QUERIES["td_decontam"]),
+            ("td_decontam_production", _decontam_production),
         ]
         sf1_t: dict[str, float] = {}
         sf1_cpu: dict[str, float] = {}

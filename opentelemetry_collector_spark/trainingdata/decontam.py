@@ -23,9 +23,18 @@ Scale design (100 TB corpus, benchmark sets of 10^4..10^7 n-grams):
   * the short-width list is collected from the EVAL side only (≤ n−1
     distinct integers from the small-by-contract benchmark frame),
     never from the corpus;
-  * n-grams cross the broadcast as strings here for DuckDB oracle
-    parity; at production scale hash them first (``production_hash``)
-    so the broadcast holds 8-byte longs — same plan, ~10x smaller.
+  * n-grams cross the broadcast as strings by default for DuckDB
+    oracle parity; ``hash_grams=True`` is the production path — both
+    sides hash each gram to a full-width ``xxhash64`` long before the
+    join, so the broadcast holds 8-byte longs instead of ~50-byte
+    strings (~10× smaller) and the probe compares longs. Full 64 bits,
+    NOT the mod-folded ``production_hash``: folding to HASH_MOD
+    (~10^9) would birthday-collide at ~10^4.5 grams and every
+    collision is a FALSE contamination flag that deletes a clean
+    training document; in the 64-bit space 10^9 grams collide with
+    p ≈ 0.03 — and a collision costs one extra dropped doc, never a
+    missed contamination (hash equality is implied by string
+    equality, so recall is exact either way).
 
 Reference parity: the reference collector has no decontamination
 stage (it is a telemetry pipeline); this operator belongs to the
@@ -95,6 +104,7 @@ def contamination(
     id_col: str = "doc_id",
     text_col: str = "text",
     short_widths: Sequence[int] | str = "auto",
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Per-document contamination report: for every training document
     that shares a gram with ``eval_docs``, return
@@ -109,16 +119,37 @@ def contamination(
     (default) collects the widths actually present in the eval set
     (one tiny eval-side job); pass an explicit sequence — ``()`` to
     disable — when the eval widths are known, which also skips the
-    probe job."""
+    probe job.
+
+    ``hash_grams``: the production wire format (module docstring) —
+    grams cross the broadcast and the join as xxhash64 longs instead
+    of strings. Same plan shape, same result on any corpus without a
+    64-bit gram collision (``total_ngrams`` is always counted on the
+    exact string-distinct gram set, before hashing)."""
     if short_widths == "auto":
         short_widths = eval_short_widths(eval_docs, n, text_col)
-    ev = F.broadcast(eval_ngram_set(eval_docs, n, text_col))
+    ev_set = eval_ngram_set(eval_docs, n, text_col)
+    if hash_grams:
+        # hash AFTER the string distinct: distinct-then-hash keeps the
+        # eval job identical and the extra distinct below only dedups
+        # the (absurdly unlikely) colliding longs on the tiny side
+        ev_set = ev_set.select(F.xxhash64("g").alias("g")).distinct()
+    ev = F.broadcast(ev_set)
+    gram_out = (
+        # array_distinct: a within-doc hash collision must not emit the
+        # same long twice (each join hit counts once per gram)
+        F.explode(F.array_distinct(F.transform(F.col("ngs"), lambda g: F.xxhash64(g))))
+        if hash_grams
+        else F.explode(F.col("ngs"))
+    )
     ng = ensure_compute_parallelism(docs).select(
         F.col(id_col), _train_grams(F.col(text_col), n, short_widths).alias("ngs")
     ).select(
         id_col,
+        # total = distinct STRING grams even when hashing: a within-doc
+        # hash collision must not change the denominator
         F.size("ngs").cast("long").alias("total_ngrams"),
-        F.explode("ngs").alias("g"),
+        gram_out.alias("g"),
     )
     return overlap_report(
         ng, ev, "g", id_col, "total_ngrams", "hit_ngrams", "contamination"
@@ -133,6 +164,7 @@ def decontaminate(
     text_col: str = "text",
     max_hits: int = 0,
     short_widths: Sequence[int] | str = "auto",
+    hash_grams: bool = False,
 ) -> DataFrame:
     """The filter form: drop every document with more than ``max_hits``
     eval-overlapping grams (default 0 — any collision removes the
@@ -142,7 +174,7 @@ def decontaminate(
     anti-join instead of a driver OOM when the eval set overlaps a
     large fraction of the corpus (e.g. eval drawn from the same
     crawl)."""
-    bad = contamination(docs, eval_docs, n, id_col, text_col, short_widths).filter(
-        F.col("hit_ngrams") > max_hits
-    )
+    bad = contamination(
+        docs, eval_docs, n, id_col, text_col, short_widths, hash_grams
+    ).filter(F.col("hit_ngrams") > max_hits)
     return docs.join(bad.select(id_col), id_col, "left_anti")

@@ -133,6 +133,39 @@ class TestDecontam:
         kept = {r["doc_id"] for r in decontaminate(t, evaldf, n=N).collect()}
         assert kept == {9}
 
+    def test_hash_grams_report_identical(self, train, evaldf):
+        # the production wire format (grams as xxhash64 longs) must
+        # produce the identical report — hash equality is implied by
+        # string equality, and this corpus has no 64-bit collisions
+        want = sorted(
+            contamination(train, evaldf, n=N).collect(),
+            key=lambda r: r["doc_id"],
+        )
+        got = sorted(
+            contamination(train, evaldf, n=N, hash_grams=True).collect(),
+            key=lambda r: r["doc_id"],
+        )
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    def test_hash_grams_join_key_is_long(self, train, evaldf):
+        # the point of hash_grams: the broadcast and the probe carry
+        # 8-byte longs, not gram strings
+        ev = eval_ngram_set(evaldf, N).select(
+            F.xxhash64("g").alias("g")
+        )
+        assert dict(ev.dtypes)["g"] == "bigint"
+        plan = contamination(
+            train, evaldf, n=N, hash_grams=True
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "xxhash64" in plan, plan
+
+    def test_hash_grams_decontaminate_same_survivors(self, train, evaldf):
+        kept = {
+            r["doc_id"]
+            for r in decontaminate(train, evaldf, n=N, hash_grams=True).collect()
+        }
+        assert kept == {1, 3}
+
 
 def py_chunks(text: str, width: int) -> list[str]:
     toks = text.strip().lower().split()
