@@ -1171,13 +1171,85 @@ GROUP BY ch.doc_id, ch.n_chunks
 """
 
 
+# mixture-weighting spec for the driver query: en/de capped so the
+# budget bites at every sf (en holds ~10-112k tokens across
+# sf0.001-0.1), zh capped ABOVE its total (pins the no-bite path),
+# fr/es absent (pins the uncapped keep-in-full path)
+_MIX_BUDGETS = {"en": 6000, "de": 2000, "zh": 100_000}
+_MIX_SALT = "|mix-v1"
+
+
+def q_td_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture weighting (trainingdata.sample_to_token_budget): cap
+    each language at a total-token budget via the greedy md5-bucket
+    prefix — deterministic in doc_id, budget-monotone, one tiny
+    histogram shuffle + a broadcast of one cutoff row per capped
+    group. Summarised per language as count + sum(doc_id) + kept
+    bucket range, the same membership pinning the split case uses;
+    the oracle recomputes the identical cumsum/cutoff in DuckDB."""
+    from ..trainingdata import sample_to_token_budget, split_bucket, token_count
+
+    _register(spark, sf_dir, "documents")
+    d = spark.table("documents").withColumn("_tok", token_count(F.col("text")))
+    kept = sample_to_token_budget(
+        d, _MIX_BUDGETS, "lang", "doc_id", "_tok", salt=_MIX_SALT
+    )
+    bucket = split_bucket(
+        F.concat(F.col("doc_id").cast("string"), F.lit(_MIX_SALT))
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("sum_id"),
+        F.min(bucket).alias("min_bucket"),
+        F.max(bucket).alias("max_bucket"),
+    )
+
+
+def _oracle_td_token_budget() -> str:
+    budget_case = " ".join(
+        f"WHEN '{lang}' THEN {b}" for lang, b in _MIX_BUDGETS.items()
+    )
+    capped = ", ".join(f"'{lang}'" for lang in _MIX_BUDGETS)
+    return f"""
+WITH tb AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{_MIX_SALT}'), 1, 8))
+              AS UBIGINT) % 10000 AS bucket,
+         CAST(len({_SQL_TOKS}) AS BIGINT) AS w
+  FROM documents
+), hist AS (
+  SELECT lang, bucket, sum(w) AS tok FROM tb
+  WHERE lang IN ({capped}) GROUP BY 1, 2
+), cum AS (
+  SELECT lang, bucket,
+         sum(tok) OVER (PARTITION BY lang ORDER BY bucket) AS running
+  FROM hist
+), cuts AS (
+  SELECT lang,
+         coalesce(max(CASE WHEN running <= CASE lang {budget_case} END
+                           THEN bucket END), -1) AS cut
+  FROM cum GROUP BY lang
+)
+SELECT tb.lang, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS sum_id,
+       CAST(min(tb.bucket) AS BIGINT) AS min_bucket,
+       CAST(max(tb.bucket) AS BIGINT) AS max_bucket
+FROM tb LEFT JOIN cuts ON tb.lang = cuts.lang
+WHERE cuts.lang IS NULL OR tb.bucket <= cuts.cut
+GROUP BY tb.lang
+"""
+
+
 def q_td_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic data-selection matrix: the train/val/test split
-    summary and the stratified-sample summary as one tagged union
-    (`case` = 'split' | 'sample') — two components, one driver row,
-    holding the 50-row correctness budget. Each half is the SAME
-    frame its standalone query produced; sample rows carry -1 for the
-    bucket-range columns the split half owns."""
+    summary, the stratified-sample summary and the token-budget
+    mixture summary as one tagged union (`case` = 'split' | 'sample'
+    | 'budget') — three components, one driver row, holding the
+    50-row correctness budget. Each part is the SAME frame its
+    standalone query produced; sample rows carry -1 for the
+    bucket-range columns the split and budget cases own (budget
+    bucket ranges are in the salted mix bucket space, split ranges in
+    the unsalted split space)."""
     split = q_td_split_assign(spark, sf_dir).select(
         F.lit("split").alias("case"),
         F.col("split").alias("grp"),
@@ -1191,19 +1263,29 @@ def q_td_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).cast("long").alias("min_bucket"),
         F.lit(-1).cast("long").alias("max_bucket"),
     )
-    return split.unionByName(sample)
+    budget = q_td_token_budget(spark, sf_dir).select(
+        F.lit("budget").alias("case"),
+        F.col("lang").alias("grp"),
+        F.col("n_kept").alias("n"),
+        "sum_id", "min_bucket", "max_bucket",
+    )
+    return split.unionByName(sample).unionByName(budget)
 
 
 def _oracle_td_selection() -> str:
     return f"""
 WITH split_side AS ({_oracle_td_split_assign()}),
-sample_side AS ({_oracle_td_stratified_sample()})
+sample_side AS ({_oracle_td_stratified_sample()}),
+budget_side AS ({_oracle_td_token_budget()})
 SELECT 'split' AS "case", split AS grp, n, sum_id, min_bucket, max_bucket
 FROM split_side
 UNION ALL
 SELECT 'sample', lang, n_kept, sum_id,
        CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
 FROM sample_side
+UNION ALL
+SELECT 'budget', lang, n_kept, sum_id, min_bucket, max_bucket
+FROM budget_side
 """
 
 

@@ -24,6 +24,7 @@ from .text import (
     doc_fingerprint,
     split_bucket,
     stratified_sample,
+    sample_to_token_budget,
 )
 from .components import connected_components, near_dup_survivors
 from .packing import pack_chunks, chunk_stats

@@ -276,3 +276,104 @@ def stratified_sample(
     if salt:
         key = F.concat(key, F.lit(salt))
     return df.filter(split_bucket(key, n_buckets) < thresh.otherwise(F.lit(0)))
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    budgets: dict[str, int] | int,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    n_buckets: int = 10_000,
+    salt: str = "",
+) -> DataFrame:
+    """Mixture weighting: cap each group (source, domain, language) at
+    a total-token budget, deterministically. ``budgets`` maps group →
+    maximum summed ``weight_col`` to keep (groups absent from the dict
+    are kept IN FULL — this is a cap, not a whitelist); an int caps
+    every group at the same budget. The kept set is the greedy
+    bucket-space prefix: documents are ordered by their salted md5
+    bucket (``split_bucket``) and whole buckets are kept while the
+    group's running token total stays ≤ its budget. Like
+    ``stratified_sample`` the result is a pure function of the KEY —
+    re-runs, retries, row order and cluster size cannot change it —
+    and raising a budget only ADDS documents (prefix property), so
+    re-mixing a corpus never un-selects data a previous run shipped.
+
+    Budget adherence is bucket-granular: one bucket holds ~1/n_buckets
+    of the group's tokens in expectation, so the kept total lands
+    within about ``group_tokens / n_buckets`` below the budget; raise
+    ``n_buckets`` for tighter adherence. A group whose FIRST bucket
+    already exceeds its budget keeps nothing (strict cap; at the
+    default 10k buckets that means a budget under ~0.01% of the
+    group's tokens). Weights must be non-negative (the running total
+    must be monotone for the prefix rule to be a cap).
+
+    Scale shape (100 TB): one map-side-combined shuffle of
+    (group, bucket, partial-sum) — ≤ groups × n_buckets rows out —
+    then a window cumsum over that tiny histogram, a per-group
+    conditional max, and a broadcast join of one (group, cutoff) row
+    per CAPPED group back onto the corpus scan; the data-sized path is
+    a single whole-stage-codegen filter. The broadcast is bounded by
+    the mixture spec itself (one row per capped group), never by the
+    corpus. The reference collector has no data-mixing stage (it is a
+    telemetry pipeline); this operator belongs to the training-data
+    tier alongside ``stratified_sample``/``assign_split``."""
+    from pyspark.sql.window import Window
+
+    key = F.col(key_col).cast("string")
+    if salt:
+        key = F.concat(key, F.lit(salt))
+    bucket = split_bucket(key, n_buckets)
+
+    hist = (
+        df.select(
+            F.col(group_col).alias("_tb_grp"),
+            bucket.alias("_tb_bucket"),
+            F.col(weight_col).cast("long").alias("_tb_w"),
+        )
+        .groupBy("_tb_grp", "_tb_bucket")
+        .agg(F.sum("_tb_w").alias("_tb_tok"))
+    )
+    if isinstance(budgets, int):
+        if budgets < 0:
+            raise ValueError(f"budget is {budgets}, negative")
+        budget_of = F.lit(int(budgets)).cast("long")
+    else:
+        if not budgets:
+            raise ValueError("budgets must name at least one group (or be an int)")
+        budget_of = None
+        for name, b in budgets.items():
+            if int(b) < 0:
+                raise ValueError(f"budget for {name!r} is {b}, negative")
+            cond = F.col("_tb_grp") == F.lit(name)
+            lit = F.lit(int(b)).cast("long")
+            budget_of = (
+                F.when(cond, lit) if budget_of is None else budget_of.when(cond, lit)
+            )
+        # uncapped groups never reach the cumsum: pruning them here
+        # keeps the histogram/window frame sized by the mixture spec
+        hist = hist.filter(F.col("_tb_grp").isin(list(budgets)))
+
+    cum = hist.withColumn(
+        "_tb_cum",
+        F.sum("_tb_tok").over(
+            Window.partitionBy("_tb_grp").orderBy("_tb_bucket")
+        ),
+    )
+    # cumsum is non-decreasing in bucket, so the qualifying set is a
+    # prefix and its max IS the cutoff; an empty prefix → -1 (keep
+    # nothing from that group)
+    cuts = (
+        cum.groupBy("_tb_grp")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("_tb_cum") <= budget_of, F.col("_tb_bucket"))),
+                F.lit(-1),
+            ).alias("_tb_cut")
+        )
+    )
+    joined = df.join(F.broadcast(cuts), df[group_col] == cuts["_tb_grp"], "left")
+    return joined.filter(
+        cuts["_tb_cut"].isNull() | (bucket <= cuts["_tb_cut"])
+    ).drop("_tb_grp", "_tb_cut")

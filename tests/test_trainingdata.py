@@ -1042,6 +1042,155 @@ class TestStratifiedSample:
             stratified_sample(strat_df, {}, "lang", "doc_id")
 
 
+def py_budget_keep(rows, budgets, n_buckets=10_000, salt=""):
+    """Pure-python mirror of sample_to_token_budget: greedy md5-bucket
+    prefix per group while the running weight total stays <= budget;
+    groups absent from a dict spec are kept in full."""
+    import hashlib
+    from collections import defaultdict
+    from itertools import groupby
+
+    def bucket(k):
+        h = hashlib.md5(f"{k}{salt}".encode()).hexdigest()[:8]
+        return int(h, 16) % n_buckets
+
+    by = defaultdict(list)
+    for did, grp, w in rows:
+        by[grp].append((bucket(did), did, w))
+    kept = set()
+    for grp, items in by.items():
+        budget = budgets if isinstance(budgets, int) else budgets.get(grp)
+        if budget is None:
+            kept |= {d for _, d, _ in items}
+            continue
+        items.sort()
+        cum, cut = 0, -1
+        for b, chunk in groupby(items, key=lambda t: t[0]):
+            cum += sum(w for _, _, w in chunk)
+            if cum <= budget:
+                cut = b
+            else:
+                break
+        kept |= {d for b, d, _ in items if b <= cut}
+    return kept
+
+
+class TestTokenBudget:
+    @pytest.fixture(scope="class")
+    def mix_rows(self):
+        return [(i, ["en", "de", "fr"][i % 3], i % 7 + 1) for i in range(600)]
+
+    @pytest.fixture(scope="class")
+    def mix_df(self, spark, mix_rows):
+        return spark.createDataFrame(
+            mix_rows, "doc_id long, lang string, tok long"
+        ).cache()
+
+    def test_matches_python_golden_and_caps(self, mix_df, mix_rows):
+        from opentelemetry_collector_spark.trainingdata import sample_to_token_budget
+
+        budgets = {"en": 300, "de": 150}
+        kept = sample_to_token_budget(
+            mix_df, budgets, "lang", "doc_id", "tok"
+        ).collect()
+        got = {r["doc_id"] for r in kept}
+        assert got == py_budget_keep(mix_rows, budgets)
+        totals = {}
+        for r in kept:
+            totals[r["lang"]] = totals.get(r["lang"], 0) + r["tok"]
+        assert totals["en"] <= 300 and totals["de"] <= 150
+        # fr is absent from the spec: a cap, not a whitelist
+        assert totals["fr"] == sum(w for _, g, w in mix_rows if g == "fr")
+
+    def test_growing_budget_only_adds(self, mix_df):
+        from opentelemetry_collector_spark.trainingdata import sample_to_token_budget
+
+        small = {
+            r["doc_id"]
+            for r in sample_to_token_budget(
+                mix_df, {"en": 200}, "lang", "doc_id", "tok"
+            ).collect()
+        }
+        big = {
+            r["doc_id"]
+            for r in sample_to_token_budget(
+                mix_df, {"en": 500}, "lang", "doc_id", "tok"
+            ).collect()
+        }
+        assert small <= big
+
+    def test_zero_budget_drops_group_entirely(self, mix_df):
+        from opentelemetry_collector_spark.trainingdata import sample_to_token_budget
+
+        langs = {
+            r["lang"]
+            for r in sample_to_token_budget(
+                mix_df, {"en": 0}, "lang", "doc_id", "tok"
+            ).collect()
+        }
+        assert langs == {"de", "fr"}
+
+    def test_int_budget_caps_every_group(self, mix_df, mix_rows):
+        from opentelemetry_collector_spark.trainingdata import sample_to_token_budget
+
+        kept = sample_to_token_budget(
+            mix_df, 250, "lang", "doc_id", "tok"
+        ).collect()
+        assert {r["doc_id"] for r in kept} == py_budget_keep(mix_rows, 250)
+        totals = {}
+        for r in kept:
+            totals[r["lang"]] = totals.get(r["lang"], 0) + r["tok"]
+        assert all(t <= 250 for t in totals.values())
+
+    def test_budget_above_total_keeps_all(self, mix_df, mix_rows):
+        from opentelemetry_collector_spark.trainingdata import sample_to_token_budget
+
+        n = sample_to_token_budget(
+            mix_df, {"en": 10_000_000}, "lang", "doc_id", "tok"
+        ).count()
+        assert n == len(mix_rows)
+
+    def test_salt_decorrelates_from_unsalted(self, mix_df):
+        from opentelemetry_collector_spark.trainingdata import sample_to_token_budget
+
+        base = {
+            r["doc_id"]
+            for r in sample_to_token_budget(
+                mix_df, {"en": 300}, "lang", "doc_id", "tok"
+            ).collect()
+            if r["lang"] == "en"
+        }
+        salted = {
+            r["doc_id"]
+            for r in sample_to_token_budget(
+                mix_df, {"en": 300}, "lang", "doc_id", "tok", salt="|mix-v2"
+            ).collect()
+            if r["lang"] == "en"
+        }
+        assert salted != base
+
+    def test_cutoff_join_is_broadcast(self, mix_df):
+        from opentelemetry_collector_spark.trainingdata import sample_to_token_budget
+
+        plan = (
+            sample_to_token_budget(mix_df, {"en": 300}, "lang", "doc_id", "tok")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan, plan
+
+    def test_bad_spec_rejected(self, mix_df):
+        from opentelemetry_collector_spark.trainingdata import sample_to_token_budget
+
+        with pytest.raises(ValueError):
+            sample_to_token_budget(mix_df, {}, "lang", "doc_id", "tok")
+        with pytest.raises(ValueError):
+            sample_to_token_budget(mix_df, {"en": -1}, "lang", "doc_id", "tok")
+        with pytest.raises(ValueError):
+            sample_to_token_budget(mix_df, -5, "lang", "doc_id", "tok")
+
+
 class TestSimHashLsh:
     def test_near_dups_found_with_hamming(self, docs):
         from opentelemetry_collector_spark.trainingdata import simhash_lsh_pairs
