@@ -64,6 +64,125 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _run_sf1_leg(spark, QUERIES, meter) -> dict | None:
+    """The sf1 (10×) leg. Gated to the sf0.1 driver default (no
+    double-scaling); opt out with SPARK_GRAFT_SF1=0. Returns None when
+    gated off, the sf1 block dict otherwise."""
+    if (
+        os.environ.get("SPARK_GRAFT_SF1", "1") == "0"
+        or os.path.basename(SF_DIR.rstrip("/")) != "sf0.1"
+    ):
+        return None
+    sys.path.insert(0, os.path.join(_REPO, "tools"))
+    from make_sf1 import ensure_sf1
+    from opentelemetry_collector_spark.operators.rollup import (
+        clear_level_caches,
+    )
+    from opentelemetry_collector_spark.trainingdata.dedup import (
+        clear_signature_caches,
+    )
+
+    sf1_dir = ensure_sf1(
+        spark,
+        SF_DIR,
+        os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1"),
+    )
+
+    # td_simhash_production replaces the driver query's UNCAPPED
+    # simhash here: the query disables the hot-bucket cap so its
+    # brute-force oracle is exact, but uncapped pair-LISTING is
+    # inherently quadratic in near-code cluster size (at 10× this
+    # corpus: 317M candidates — measured round 5), which is why
+    # the production default caps buckets. The sf1 leg measures
+    # what a user runs at scale: defaults (blocked layout +
+    # DEFAULT_SIMHASH_BUCKET_LIMIT).
+    def _simhash_production(spark, sf_dir):
+        from opentelemetry_collector_spark.sources.tables import read_table
+        from opentelemetry_collector_spark.trainingdata import simhash_lsh_pairs
+
+        return simhash_lsh_pairs(read_table(spark, sf_dir, "documents"))
+
+    # same rationale for minhash: the driver query keeps the
+    # DuckDB-reproducible rolling hash for oracle parity, but the
+    # 100 TB path is xxhash64 — measure both at 10× so the
+    # oracle-vs-production CPU gap is on the record at scale.
+    def _minhash_production(spark, sf_dir):
+        from opentelemetry_collector_spark.sources.tables import read_table
+        from opentelemetry_collector_spark.trainingdata import (
+            minhash_lsh_pairs,
+            production_hash,
+        )
+
+        return minhash_lsh_pairs(
+            read_table(spark, sf_dir, "documents"), hash_fn=production_hash
+        )
+
+    # and for decontam: grams cross the broadcast as xxhash64
+    # longs (hash_grams=True) instead of the oracle's strings
+    def _decontam_production(spark, sf_dir):
+        from opentelemetry_collector_spark.plans.trainingdata_queries import (
+            _register,
+        )
+        from opentelemetry_collector_spark.trainingdata import (
+            contamination,
+            split_bucket,
+        )
+        from opentelemetry_collector_spark.trainingdata.dedup import MINHASH_K
+        from pyspark.sql import functions as F
+
+        _register(spark, sf_dir, "documents")
+        d = spark.table("documents")
+        bucket = split_bucket(F.col("doc_id"))
+        return contamination(
+            d.filter(bucket < 9800),
+            d.filter(bucket >= 9800),
+            n=MINHASH_K,
+            hash_grams=True,
+        )
+
+    sf1_queries = [
+        ("pipeline_errors_agg", QUERIES["pipeline_errors_agg"]),
+        ("rollup_multires", QUERIES["rollup_multires"]),
+        ("td_minhash_lsh_pairs", QUERIES["td_minhash_lsh_pairs"]),
+        ("td_minhash_production", _minhash_production),
+        ("td_simhash_production", _simhash_production),
+        ("td_decontam", QUERIES["td_decontam"]),
+        ("td_decontam_production", _decontam_production),
+    ]
+    sf1_t: dict[str, float] = {}
+    sf1_cpu: dict[str, float] = {}
+    sf1_ext = 0.0
+    # the suite dodges co-tenant bursts by taking the best CLEAN of 3
+    # attempts; a single-shot sf1 query has no such escape and its
+    # minutes-long window WILL catch ambient noise (observed: three
+    # consecutive runs, suite ext<=0.03, sf1 leg ext 0.17-0.22).
+    # Retry once only when the first attempt reads contaminated — a
+    # clean window costs one attempt, a noisy one two — and pick the
+    # clean attempt, else min-by-sec.
+    for name, fn in sf1_queries:
+        attempts = []
+        for _ in range(2):
+            clear_signature_caches()
+            clear_level_caches()
+            meter.start()
+            force(fn(spark, sf1_dir))
+            attempts.append(meter.stop())
+            if attempts[-1]["ext_frac"] <= 0.10:
+                break
+        clean = [a for a in attempts if a["ext_frac"] <= 0.10]
+        a = min(clean or attempts, key=lambda x: x["sec"])
+        sf1_t[name] = round(a["sec"], 3)
+        sf1_cpu[name] = round(a["self_cpu_secs"], 2)
+        sf1_ext = max(sf1_ext, a["ext_frac"])
+    return {
+        "sf": 1.0,
+        "queries": sf1_t,
+        "query_cpu_secs": sf1_cpu,
+        "total_sec": round(sum(sf1_t.values()), 3),
+        "max_external_cpu_frac": round(sf1_ext, 4),
+    }
+
+
 def main() -> None:
     from opentelemetry_collector_spark.hostacct import SectionMeter
     from opentelemetry_collector_spark.session import get_spark
@@ -170,107 +289,16 @@ def main() -> None:
     # a contended pass is flaggable by rule. Opt out with
     # SPARK_GRAFT_SF1=0; auto-skipped when SF_DIR is not the sf0.1
     # driver default (no double-scaling).
+    # the sf1 leg is additive evidence: if it breaks (synthesis disk
+    # space, a fresh environment, an OOM at 10x) the headline suite
+    # line above must still be printed — a missing BENCH record is
+    # strictly worse than a missing sf1 block
     sf1_block = None
-    if (
-        os.environ.get("SPARK_GRAFT_SF1", "1") != "0"
-        and os.path.basename(SF_DIR.rstrip("/")) == "sf0.1"
-    ):
-        sys.path.insert(0, os.path.join(_REPO, "tools"))
-        from make_sf1 import ensure_sf1
-
-        sf1_dir = ensure_sf1(
-            spark,
-            SF_DIR,
-            os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1"),
-        )
-        # td_simhash_production replaces the driver query's UNCAPPED
-        # simhash here: the query disables the hot-bucket cap so its
-        # brute-force oracle is exact, but uncapped pair-LISTING is
-        # inherently quadratic in near-code cluster size (at 10× this
-        # corpus: 317M candidates — measured round 5), which is why
-        # the production default caps buckets. The sf1 leg measures
-        # what a user runs at scale: defaults (blocked layout +
-        # DEFAULT_SIMHASH_BUCKET_LIMIT).
-        def _simhash_production(spark, sf_dir):
-            from opentelemetry_collector_spark.sources.tables import (
-                read_table,
-            )
-            from opentelemetry_collector_spark.trainingdata import (
-                simhash_lsh_pairs,
-            )
-
-            return simhash_lsh_pairs(read_table(spark, sf_dir, "documents"))
-
-        # same rationale for minhash: the driver query keeps the
-        # DuckDB-reproducible rolling hash for oracle parity, but the
-        # 100 TB path is xxhash64 — measure both at 10× so the
-        # oracle-vs-production CPU gap is on the record at scale.
-        def _minhash_production(spark, sf_dir):
-            from opentelemetry_collector_spark.sources.tables import (
-                read_table,
-            )
-            from opentelemetry_collector_spark.trainingdata import (
-                minhash_lsh_pairs,
-                production_hash,
-            )
-
-            return minhash_lsh_pairs(
-                read_table(spark, sf_dir, "documents"), hash_fn=production_hash
-            )
-
-        # and for decontam: grams cross the broadcast as xxhash64
-        # longs (hash_grams=True) instead of the oracle's strings
-        def _decontam_production(spark, sf_dir):
-            from opentelemetry_collector_spark.plans.trainingdata_queries import (
-                _register,
-            )
-            from opentelemetry_collector_spark.trainingdata import (
-                contamination,
-                split_bucket,
-            )
-            from opentelemetry_collector_spark.trainingdata.dedup import (
-                MINHASH_K,
-            )
-            from pyspark.sql import functions as F
-
-            _register(spark, sf_dir, "documents")
-            d = spark.table("documents")
-            bucket = split_bucket(F.col("doc_id"))
-            return contamination(
-                d.filter(bucket < 9800),
-                d.filter(bucket >= 9800),
-                n=MINHASH_K,
-                hash_grams=True,
-            )
-
-        sf1_queries = [
-            ("pipeline_errors_agg", QUERIES["pipeline_errors_agg"]),
-            ("rollup_multires", QUERIES["rollup_multires"]),
-            ("td_minhash_lsh_pairs", QUERIES["td_minhash_lsh_pairs"]),
-            ("td_minhash_production", _minhash_production),
-            ("td_simhash_production", _simhash_production),
-            ("td_decontam", QUERIES["td_decontam"]),
-            ("td_decontam_production", _decontam_production),
-        ]
-        sf1_t: dict[str, float] = {}
-        sf1_cpu: dict[str, float] = {}
-        sf1_ext = 0.0
-        for name, fn in sf1_queries:
-            clear_signature_caches()
-            clear_level_caches()
-            meter.start()
-            force(fn(spark, sf1_dir))
-            a = meter.stop()
-            sf1_t[name] = round(a["sec"], 3)
-            sf1_cpu[name] = round(a["self_cpu_secs"], 2)
-            sf1_ext = max(sf1_ext, a["ext_frac"])
-        sf1_block = {
-            "sf": 1.0,
-            "queries": sf1_t,
-            "query_cpu_secs": sf1_cpu,
-            "total_sec": round(sum(sf1_t.values()), 3),
-            "max_external_cpu_frac": round(sf1_ext, 4),
-        }
+    try:
+        sf1_block = _run_sf1_leg(spark, QUERIES, meter)
+    except Exception as e:  # noqa: BLE001 — never lose the suite line
+        print(f"sf1 leg failed, recording suite only: {e!r}", file=sys.stderr)
+        sf1_block = None
 
     # throughput of the flagship pipeline: turns/sec through
     # parse→enrich→route→aggregate (turns = input transcript rows)

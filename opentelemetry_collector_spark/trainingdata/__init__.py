@@ -25,6 +25,7 @@ from .text import (
     split_bucket,
     stratified_sample,
     sample_to_token_budget,
+    shuffle_for_training,
 )
 from .components import connected_components, near_dup_survivors
 from .packing import pack_chunks, chunk_stats

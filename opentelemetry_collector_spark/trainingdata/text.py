@@ -377,3 +377,53 @@ def sample_to_token_budget(
     return joined.filter(
         cuts["_tb_cut"].isNull() | (bucket <= cuts["_tb_cut"])
     ).drop("_tb_grp", "_tb_cut")
+
+
+def shuffle_for_training(
+    df: DataFrame,
+    key_col: str,
+    seed: str = "",
+    n_shards: int = 1024,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global shuffle for training order: assign every
+    row a ``(shard, pos)`` coordinate that is a pure function of
+    (key, seed) — shard = md5 bucket of the salted key, pos = rank of
+    the key's md5 order-hash within its shard. Writing partitioned by
+    ``shard`` and reading shards in pos order yields an i.i.d.-style
+    permutation of the corpus; changing ``seed`` draws an independent
+    permutation (new training epoch orders without rewriting data).
+
+    Why not ``df.orderBy(F.rand(seed))``: rand is seeded per-PARTITION,
+    so the permutation changes with cluster size, input split layout
+    and task retries — a retried task silently reorders its rows — and
+    a global orderBy needs a range-partitioning sampling pass plus a
+    full sort of the corpus. This operator is ONE hash shuffle
+    (repartition on shard) followed by a per-shard sort bounded by the
+    shard's size (corpus/n_shards — pick n_shards so a shard fits an
+    executor, e.g. 100 TB / 65536 ≈ 1.6 GB); no sampling pass, no
+    global sort, and the coordinate survives any re-run bit-for-bit.
+    Keys must be unique (pos ties break by key, so duplicate keys get
+    arbitrary-but-stable relative order). md5 keeps the permutation
+    reproducible from the SQL definition in any engine; swap the two
+    substrings for ``xxhash64(key, lit(seed))`` variants at production
+    scale for one JVM hash instead of a digest."""
+    from pyspark.sql.window import Window
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = F.col(key_col).cast("string")
+    if seed:
+        key = F.concat(key, F.lit(seed))
+    h = F.md5(key)
+    shard = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards
+    order = F.conv(F.substring(h, 9, 15), 16, 10).cast("long")
+    w = Window.partitionBy(shard_col).orderBy("_sft_ord", F.col(key_col))
+    return (
+        df.withColumn(shard_col, shard)
+        .withColumn("_sft_ord", order)
+        .repartition(n_shards, F.col(shard_col))
+        .withColumn(pos_col, F.row_number().over(w).cast("long"))
+        .drop("_sft_ord")
+    )

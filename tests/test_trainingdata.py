@@ -1191,6 +1191,108 @@ class TestTokenBudget:
             sample_to_token_budget(mix_df, -5, "lang", "doc_id", "tok")
 
 
+def py_training_order(keys, seed="", n_shards=8):
+    """Pure-python mirror of shuffle_for_training's (shard, pos)."""
+    import hashlib
+    from collections import defaultdict
+
+    coords = {}
+    by_shard = defaultdict(list)
+    for k in keys:
+        h = hashlib.md5(f"{k}{seed}".encode()).hexdigest()
+        shard = int(h[:8], 16) % n_shards
+        by_shard[shard].append((int(h[8:23], 16), str(k), k))
+    for shard, items in by_shard.items():
+        for pos, (_, _, k) in enumerate(sorted(items), start=1):
+            coords[k] = (shard, pos)
+    return coords
+
+
+class TestShuffleForTraining:
+    @pytest.fixture(scope="class")
+    def keys_df(self, spark):
+        return spark.createDataFrame(
+            [(i, f"doc-{i}") for i in range(500)], "doc_id long, text string"
+        ).cache()
+
+    def test_matches_python_golden(self, keys_df):
+        from opentelemetry_collector_spark.trainingdata import shuffle_for_training
+
+        got = {
+            r["doc_id"]: (r["shard"], r["pos"])
+            for r in shuffle_for_training(
+                keys_df, "doc_id", seed="|epoch-0", n_shards=8
+            ).collect()
+        }
+        assert got == py_training_order(range(500), seed="|epoch-0", n_shards=8)
+
+    def test_deterministic_across_runs_and_partitionings(self, keys_df):
+        from opentelemetry_collector_spark.trainingdata import shuffle_for_training
+
+        a = {
+            (r["doc_id"], r["shard"], r["pos"])
+            for r in shuffle_for_training(keys_df, "doc_id", n_shards=8).collect()
+        }
+        b = {
+            (r["doc_id"], r["shard"], r["pos"])
+            for r in shuffle_for_training(
+                keys_df.repartition(13), "doc_id", n_shards=8
+            ).collect()
+        }
+        assert a == b  # permutation is key-pure, not layout-dependent
+
+    def test_seed_draws_new_permutation(self, keys_df):
+        from opentelemetry_collector_spark.trainingdata import shuffle_for_training
+
+        e0 = {
+            r["doc_id"]: (r["shard"], r["pos"])
+            for r in shuffle_for_training(
+                keys_df, "doc_id", seed="|epoch-0", n_shards=8
+            ).collect()
+        }
+        e1 = {
+            r["doc_id"]: (r["shard"], r["pos"])
+            for r in shuffle_for_training(
+                keys_df, "doc_id", seed="|epoch-1", n_shards=8
+            ).collect()
+        }
+        assert e0 != e1
+        assert set(e0) == set(e1)  # same corpus, different order
+
+    def test_coordinates_are_a_permutation(self, keys_df):
+        from opentelemetry_collector_spark.trainingdata import shuffle_for_training
+
+        rows = shuffle_for_training(keys_df, "doc_id", n_shards=8).collect()
+        assert len(rows) == 500
+        coords = [(r["shard"], r["pos"])for r in rows]
+        assert len(set(coords)) == 500  # no coordinate collisions
+        by_shard = {}
+        for s, p in coords:
+            by_shard.setdefault(s, []).append(p)
+        for s, ps in by_shard.items():
+            assert sorted(ps) == list(range(1, len(ps) + 1))  # dense 1..n
+
+    def test_one_shuffle_no_global_sort(self, keys_df):
+        from opentelemetry_collector_spark.trainingdata import shuffle_for_training
+
+        plan = (
+            shuffle_for_training(keys_df, "doc_id", n_shards=8)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # hash repartition on shard, never a range exchange (the
+        # global-sort strategy this operator exists to avoid)
+        assert "rangepartitioning" not in plan.lower(), plan
+        assert plan.lower().count("exchange") <= 2, plan
+
+    def test_bad_shards_rejected(self, keys_df):
+        from opentelemetry_collector_spark.trainingdata import shuffle_for_training
+
+        with pytest.raises(ValueError):
+            shuffle_for_training(keys_df, "doc_id", n_shards=0)
+
+
 class TestSimHashLsh:
     def test_near_dups_found_with_hamming(self, docs):
         from opentelemetry_collector_spark.trainingdata import simhash_lsh_pairs
