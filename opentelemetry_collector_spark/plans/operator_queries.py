@@ -799,12 +799,16 @@ FROM t CROSS JOIN (VALUES ('message'), ('forward'), ('packed_forward'),
 
 def q_metric_wire_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metric wire identity matrix: OTLP protobuf-JSON, OTLP binary
-    protobuf, and OpenCensus JSON over the same datapoint frame. The
-    OC arm DROPS the DELTA rows (no OC representation) — the oracle
-    mirrors that per-format."""
+    protobuf, OpenCensus JSON, and Prometheus exposition text over the
+    same datapoint frame. The OC arm DROPS the DELTA rows (no OC
+    representation); the prometheus arm additionally applies the
+    wire's own documented lossiness — name sanitization, the receiver's
+    always-float64 rule (metricsbuilder.go:224-226), and millisecond
+    timestamps — and the oracle mirrors each transform per-format."""
     from ..sources.opencensus_json import metrics_to_oc_json, oc_json_to_metrics
     from ..sources.otlp_json import metrics_from_otlp_json, metrics_to_otlp_json
     from ..sources.otlp_proto import metrics_from_otlp_proto, metrics_to_otlp_proto
+    from ..sources.prometheus_text import metrics_to_prom_text, prom_text_to_metrics
 
     dps = _matrix_src("datapoints", _dp_rows(spark, sf_dir))
     codecs = {
@@ -812,6 +816,9 @@ def q_metric_wire_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
         "otlp_proto": lambda d: metrics_from_otlp_proto(metrics_to_otlp_proto(d)),
         "oc_json": lambda d: oc_json_to_metrics(
             metrics_to_oc_json(d, label_keys=["m"])
+        ),
+        "prom_text": lambda d: prom_text_to_metrics(
+            metrics_to_prom_text(d, label_keys=["m"])
         ),
     }
     out = None
@@ -831,6 +838,12 @@ CROSS JOIN (VALUES ('otlp_json'), ('otlp_proto')) AS f(format)
 UNION ALL
 SELECT 'oc_json' AS format, base.* FROM base
 WHERE base.data_type <> 'IntSum'
+UNION ALL
+SELECT 'prom_text' AS format, replace(base.name, '.', '_') AS name,
+       'DoubleSum' AS data_type, 'CUMULATIVE' AS temporality, m,
+       (ts_us // 1000) * 1000 AS ts_us,
+       CAST(NULL AS BIGINT) AS int_value, double_value
+FROM base WHERE base.temporality = 'CUMULATIVE'
 """
 
 
