@@ -797,6 +797,36 @@ FROM t CROSS JOIN (VALUES ('message'), ('forward'), ('packed_forward'),
 """
 
 
+def _prom_rw_roundtrip(d: DataFrame) -> DataFrame:
+    """Remote-write arm: dp rows → snappy(WriteRequest) blobs → sample
+    rows → dp shape. The wire is TYPELESS samples, so the type columns
+    are re-attached by the documented inference: the exporter's own
+    ``_total`` naming rule (helper.go:174-213) marks counters — every
+    name it produced with that suffix came from a cumulative sum (the
+    only sum kind validateMetrics lets through), everything else is a
+    gauge."""
+    from ..sources.prometheus_remote_write import (
+        metrics_to_remote_write,
+        remote_write_to_samples,
+    )
+
+    back = remote_write_to_samples(metrics_to_remote_write(d, label_keys=["m"]))
+    is_counter = F.col("name").endswith("_total")
+    return back.select(
+        "name",
+        F.when(is_counter, F.lit("DoubleSum"))
+        .otherwise(F.lit("DoubleGauge"))
+        .alias("data_type"),
+        F.when(is_counter, F.lit("CUMULATIVE"))
+        .otherwise(F.lit("UNSPECIFIED"))
+        .alias("temporality"),
+        "labels",
+        F.timestamp_millis(F.col("ts_ms")).alias("ts"),
+        F.lit(None).cast("long").alias("int_value"),
+        F.col("value").alias("double_value"),
+    )
+
+
 def q_metric_wire_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metric wire identity matrix: OTLP protobuf-JSON, OTLP binary
     protobuf, OpenCensus JSON, and Prometheus exposition text over the
@@ -820,6 +850,7 @@ def q_metric_wire_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prom_text": lambda d: prom_text_to_metrics(
             metrics_to_prom_text(d, label_keys=["m"])
         ),
+        "prom_rw": _prom_rw_roundtrip,
     }
     out = None
     for name, fn in codecs.items():
@@ -840,6 +871,13 @@ SELECT 'oc_json' AS format, base.* FROM base
 WHERE base.data_type <> 'IntSum'
 UNION ALL
 SELECT 'prom_text' AS format, replace(base.name, '.', '_') AS name,
+       'DoubleSum' AS data_type, 'CUMULATIVE' AS temporality, m,
+       (ts_us // 1000) * 1000 AS ts_us,
+       CAST(NULL AS BIGINT) AS int_value, double_value
+FROM base WHERE base.temporality = 'CUMULATIVE'
+UNION ALL
+SELECT 'prom_rw' AS format,
+       replace(base.name, '.', '_') || '_total' AS name,
        'DoubleSum' AS data_type, 'CUMULATIVE' AS temporality, m,
        (ts_us // 1000) * 1000 AS ts_us,
        CAST(NULL AS BIGINT) AS int_value, double_value
