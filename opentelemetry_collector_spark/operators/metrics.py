@@ -139,3 +139,46 @@ def temporality_totals(df: DataFrame) -> DataFrame:
             F.round(w_latest, 6).alias("latest_value"),
         )
     )
+
+
+def adjust_cumulative(
+    df: DataFrame,
+    series_cols: tuple[str, ...] = ("name",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Prometheus-receiver start-time / reset adjustment for CUMULATIVE
+    scalar series (receiver/prometheusreceiver/internal/
+    metrics_adjuster.go:188-316): per series in time order, the FIRST
+    point is the "initial" — it defines the series start time and
+    baseline and is REMOVED from the output; a point whose raw value
+    drops below the previous raw value is a RESET — it becomes the new
+    initial (also removed); every other point is emitted with
+    ``adjusted_value = raw − segment_initial`` and ``start_ts`` = its
+    segment's initial timestamp. This is what turns a scrape stream of
+    monotonic counters (that restart when processes restart) into
+    rate-able deltas with honest start times.
+
+    Spark-first shape: one window partition per series — lag() marks
+    segment starts, a running conditional sum numbers segments, and
+    first_value() over (series, segment) supplies the baseline/start —
+    a single exchange on the series key, no Python, no state store;
+    Prometheus cardinality (many small series) partitions evenly, and
+    a single pathological series is bounded by its scrape count.
+    Ordering ties on ``ts`` break by raw value so the result is
+    deterministic and engine-reproducible."""
+    from pyspark.sql.window import Window
+
+    raw = F.coalesce(F.col("double_value"), F.col("int_value").cast("double"))
+    d = df.withColumn("_ac_raw", raw)
+    w_ord = Window.partitionBy(*series_cols).orderBy(ts_col, "_ac_raw")
+    prev = F.lag("_ac_raw").over(w_ord)
+    is_start = prev.isNull() | (F.col("_ac_raw") < prev)
+    d = d.withColumn("_ac_start", is_start).withColumn(
+        "_ac_seg",
+        F.sum(F.when(is_start, F.lit(1)).otherwise(F.lit(0))).over(w_ord),
+    )
+    w_seg = Window.partitionBy(*series_cols, "_ac_seg").orderBy(ts_col, "_ac_raw")
+    d = d.withColumn(
+        "adjusted_value", F.col("_ac_raw") - F.first("_ac_raw").over(w_seg)
+    ).withColumn("start_ts", F.first(ts_col).over(w_seg))
+    return d.filter(~F.col("_ac_start")).drop("_ac_raw", "_ac_start", "_ac_seg")

@@ -1078,8 +1078,15 @@ def q_metrics_temporality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metrics signal: derive a datapoint table from events (IntSum
     DELTA for click/view, DoubleSum CUMULATIVE for the rest) and run
     the temporality roll-up — DELTA sums increments, CUMULATIVE takes
-    the latest value by event time (metric.go:22-28 semantics)."""
-    from ..operators.metrics import temporality_totals
+    the latest value by event time (metric.go:22-28 semantics) — plus
+    the prometheus-receiver start-time/reset adjustment
+    (metrics_adjuster.go:188-316) over every CUMULATIVE series:
+    ``adj_points`` = points emitted after initial/reset removal,
+    ``adj_total`` = sum of baseline-subtracted values. The derived
+    series values are non-monotonic, so resets fire constantly —
+    every branch of the adjuster is exercised and the oracle
+    recomputes the identical segmentation with SQL windows."""
+    from ..operators.metrics import adjust_cumulative, temporality_totals
 
     _register(spark, sf_dir, "events")
     dps = spark.sql(_METRICS_FROM_EVENTS).withColumn(
@@ -1087,13 +1094,27 @@ def q_metrics_temporality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.map_from_arrays(F.array().cast("array<string>"), F.array().cast("array<string>")),
     )
     totals = temporality_totals(dps)
+    adj = (
+        adjust_cumulative(dps.filter(F.col("temporality") == "CUMULATIVE"))
+        .groupBy("name")
+        .agg(
+            F.count(F.lit(1)).alias("adj_points"),
+            F.round(F.sum("adjusted_value"), 6).alias("adj_total"),
+        )
+    )
     # CUMULATIVE latest-by-ts needs a deterministic tie-break: restrict
     # the emitted latest_value to DELTA=NULL side and make it exact by
     # rounding at derivation (already 6dp).
-    return totals.select(
+    return totals.join(adj, "name", "left").select(
         "name", "temporality", "n_points", "delta_total",
         F.when(F.col("temporality") == "CUMULATIVE", F.col("latest_value")).alias(
             "latest_value"
+        ),
+        F.when(F.col("temporality") == "CUMULATIVE", F.col("adj_points")).alias(
+            "adj_points"
+        ),
+        F.when(F.col("temporality") == "CUMULATIVE", F.col("adj_total")).alias(
+            "adj_total"
         ),
     )
 
@@ -1104,16 +1125,46 @@ def _oracle_metrics_temporality() -> str:
     # verified by the row-count gate if that ever changes.
     duck_metrics = _METRICS_FROM_EVENTS.replace("AS STRING", "AS VARCHAR")
     return f"""
-WITH dp AS ({duck_metrics})
-SELECT name, temporality, CAST(count(*) AS BIGINT) AS n_points,
-       round(sum(CASE WHEN temporality = 'DELTA'
-                      THEN coalesce(double_value, CAST(int_value AS DOUBLE)) END), 6)
-         AS delta_total,
-       CASE WHEN temporality = 'CUMULATIVE'
-            THEN round(arg_max(coalesce(double_value, CAST(int_value AS DOUBLE)), ts), 6)
-       END AS latest_value
-FROM dp
-GROUP BY 1, 2
+WITH dp AS ({duck_metrics}),
+totals AS (
+  SELECT name, temporality, CAST(count(*) AS BIGINT) AS n_points,
+         round(sum(CASE WHEN temporality = 'DELTA'
+                        THEN coalesce(double_value, CAST(int_value AS DOUBLE)) END), 6)
+           AS delta_total,
+         CASE WHEN temporality = 'CUMULATIVE'
+              THEN round(arg_max(coalesce(double_value, CAST(int_value AS DOUBLE)), ts), 6)
+         END AS latest_value
+  FROM dp
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT name, ts, coalesce(double_value, CAST(int_value AS DOUBLE)) AS raw
+  FROM dp WHERE temporality = 'CUMULATIVE'
+),
+mark AS (
+  SELECT name, ts, raw,
+         CASE WHEN lag(raw) OVER w IS NULL OR raw < lag(raw) OVER w
+              THEN 1 ELSE 0 END AS st
+  FROM cum WINDOW w AS (PARTITION BY name ORDER BY ts, raw)
+),
+seg AS (
+  SELECT name, ts, raw, st,
+         sum(st) OVER (PARTITION BY name ORDER BY ts, raw) AS sg
+  FROM mark
+),
+adj AS (
+  SELECT name, st, raw - first_value(raw) OVER ws AS av
+  FROM seg WINDOW ws AS (PARTITION BY name, sg ORDER BY ts, raw)
+),
+adjsum AS (
+  SELECT name, CAST(count(*) AS BIGINT) AS adj_points,
+         round(sum(av), 6) AS adj_total
+  FROM adj WHERE st = 0 GROUP BY name
+)
+SELECT t.name, t.temporality, t.n_points, t.delta_total, t.latest_value,
+       CASE WHEN t.temporality = 'CUMULATIVE' THEN a.adj_points END AS adj_points,
+       CASE WHEN t.temporality = 'CUMULATIVE' THEN a.adj_total END AS adj_total
+FROM totals t LEFT JOIN adjsum a ON t.name = a.name
 """
 
 

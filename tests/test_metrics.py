@@ -90,3 +90,84 @@ class TestTemporality:
         assert got["requests"]["delta_total"] == 12.0  # 7 + 5
         assert got["cpu.time"]["latest_value"] == 12.25  # max_by ts
         assert got["cpu.time"]["delta_total"] is None
+
+
+def py_adjust(series):
+    """Pure-python mirror of adjust_cumulative: per series in (ts, raw)
+    order, initial/reset points dropped, others emit (raw - seg_first,
+    seg_first_ts). metrics_adjuster.go:188-316."""
+    out = []
+    for name, points in series.items():
+        points = sorted(points)
+        base_v = base_t = prev = None
+        for ts, v in points:
+            if prev is None or v < prev:
+                base_v, base_t = v, ts  # initial or reset: dropped
+            else:
+                out.append((name, ts, v - base_v, base_t))
+            prev = v
+    return sorted(out)
+
+
+class TestAdjustCumulative:
+    def mk(self, spark, series):
+        import datetime as dt
+
+        rows = [
+            (name, dt.datetime(2026, 1, 1, 0, 0, ts), None, float(v))
+            for name, pts in series.items()
+            for ts, v in pts
+        ]
+        return spark.createDataFrame(
+            rows, "name string, ts timestamp, int_value long, double_value double"
+        )
+
+    def collect(self, df):
+        from opentelemetry_collector_spark.operators.metrics import adjust_cumulative
+
+        return sorted(
+            (r["name"], r["ts"].second, r["adjusted_value"], r["start_ts"].second)
+            for r in adjust_cumulative(df).collect()
+        )
+
+    def test_matches_python_golden_with_resets(self, spark):
+        series = {
+            "a": [(0, 5), (1, 7), (2, 3), (3, 4), (4, 10)],  # reset at t2
+            "b": [(0, 1), (1, 1), (2, 2)],  # flat point is NOT a reset
+            "c": [(0, 9)],  # single point: initial only, nothing emitted
+        }
+        assert self.collect(self.mk(spark, series)) == py_adjust(series)
+
+    def test_monotonic_series_single_segment(self, spark):
+        series = {"m": [(i, 10 * i) for i in range(6)]}
+        got = self.collect(self.mk(spark, series))
+        assert [g[2] for g in got] == [10.0, 20.0, 30.0, 40.0, 50.0]
+        assert all(g[3] == 0 for g in got)  # one start time for all
+
+    def test_every_point_decreasing_emits_nothing(self, spark):
+        series = {"m": [(i, 100 - i) for i in range(5)]}
+        assert self.collect(self.mk(spark, series)) == []
+
+    def test_int_valued_series(self, spark):
+        import datetime as dt
+
+        rows = [
+            ("m", dt.datetime(2026, 1, 1, 0, 0, i), v, None)
+            for i, v in enumerate([3, 8, 2, 6])
+        ]
+        df = spark.createDataFrame(
+            rows, "name string, ts timestamp, int_value long, double_value double"
+        )
+        got = self.collect(df)
+        assert got == [("m", 1, 5.0, 0), ("m", 3, 4.0, 2)]
+
+    def test_one_exchange_plan(self, spark):
+        from opentelemetry_collector_spark.operators.metrics import adjust_cumulative
+
+        df = self.mk(spark, {"m": [(i, i) for i in range(4)]})
+        plan = (
+            adjust_cumulative(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        # both windows and the filter share the series-key partitioning:
+        # exactly one shuffle for the whole adjustment
+        assert plan.lower().count("exchange") <= 1, plan
