@@ -524,3 +524,84 @@ def test_msgpack_concatenated_stream(values):
         out.append(u.unpack())
     assert len(out) == len(values)
     assert all(_mp_eq(a, b) for a, b in zip(out, values))
+
+
+# ---------------------------------------------------------------------------
+# snappy block format (functions/snappy_block.py)
+# ---------------------------------------------------------------------------
+
+from opentelemetry_collector_spark.functions.snappy_block import (  # noqa: E402
+    compress as snappy_compress,
+    decompress as snappy_decompress,
+)
+
+
+@settings(max_examples=300)
+@given(st.binary(max_size=4096), st.booleans())
+def test_snappy_roundtrip_arbitrary_bytes(data, flag):
+    assert snappy_decompress(snappy_compress(data, flag)) == data
+
+
+@settings(max_examples=100)
+@given(
+    st.binary(min_size=1, max_size=32),
+    st.integers(min_value=1, max_value=2000),
+)
+def test_snappy_roundtrip_repetitive(chunk, reps):
+    # repetition drives the copy-emitting encoder paths: long matches
+    # chain through the 64-byte copy-2 length ceiling and overlapping
+    # copies (offset < length) decode byte-at-a-time
+    data = chunk * reps
+    out = snappy_compress(data, True)
+    assert snappy_decompress(out) == data
+    if len(data) > 4 * len(chunk) + 64:
+        assert len(out) < len(data)  # matches actually fired
+
+
+@settings(max_examples=200)
+@given(st.binary(max_size=512))
+def test_snappy_truncation_never_crashes_unsafely(data):
+    # every truncation of a valid stream must raise ValueError or
+    # decode to a strict prefix-length mismatch — never hang or return
+    # silently wrong bytes of the full length
+    full = snappy_compress(data, True)
+    for cut in range(len(full)):
+        try:
+            got = snappy_decompress(full[:cut])
+        except ValueError:
+            continue
+        assert got != data or len(data) == 0
+
+
+# ---------------------------------------------------------------------------
+# prometheus exposition label escaping (sources/prometheus_text.py)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from opentelemetry_collector_spark.sources.prometheus_text import (  # noqa: E402
+    escape_label_value,
+    unescape_label_value,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        # the 5-char alphabet generates every nasty escape sequence
+        # combinatorially: runs of backslashes, backslash-before-quote,
+        # backslash-n vs real newline, trailing backslash
+        st.text(alphabet=list('ab\\"\n'), max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_prom_label_escape_unescape_identity(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    out = [
+        r["r"]
+        for r in df.select(
+            unescape_label_value(escape_label_value(F.col("v"))).alias("r")
+        ).collect()
+    ]
+    assert sorted(out) == sorted(values)
