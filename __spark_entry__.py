@@ -57,9 +57,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from opentelemetry_collector_spark.plans.entry_queries import (
         ORACLES,
-        murmur3_oracle_sql,
+        sampler_matrix_oracle_sql,
     )
 
     out = dict(ORACLES)
-    out["sampler_murmur3"] = murmur3_oracle_sql()
+    out["sampler_matrix"] = sampler_matrix_oracle_sql()
     return out

@@ -43,7 +43,9 @@ BENCH_QUERIES = [
     "route_fanout_counts",
     "rollup_multires",
     "enrich_broadcast_region",
-    "sampler_murmur3",
+    # r5: sampler_matrix = sampler_murmur3 + the priority-override arm
+    # (consolidated; strictly more work than the old sampler_murmur3 line)
+    "sampler_matrix",
     "dedup_exact",
     "tpch_q1",
     "td_minhash_lsh_pairs",
@@ -57,6 +59,8 @@ BENCH_QUERIES = [
     "td_chunk_dedup",
     "asof_attribution",
     "range_session_errors",
+    # r5: hostmetrics scrape wire (new operator — render + 8-scraper parse)
+    "hostmetrics_scrape",
 ]
 
 

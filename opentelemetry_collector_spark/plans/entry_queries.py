@@ -702,6 +702,39 @@ def murmur3_oracle_sql(sf_dir: str | None = None) -> str:
     return f"SELECT event_id FROM events WHERE event_id IN ({vals})"
 
 
+def q_sampler_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both probabilisticsampler semantics as one tagged matrix
+    (consolidates the former ``sampler_murmur3`` +
+    ``sampler_priority_override`` rows under the 50-row driver
+    budget; r5 freed the slot for ``hostmetrics_scrape``):
+
+    * ``mode='murmur3_15pct'`` — exact murmur3 keep-set at 15%/seed 22
+      (probabilisticsampler.go:88-133, functions/mmh3.py:33);
+    * ``mode='priority_zero'`` — sampling.priority override at 0% base
+      rate: only priority>0 survives
+      (probabilisticsampler.go:135-181).
+    """
+    m = q_sampler_murmur3(spark, sf_dir).select(
+        F.lit("murmur3_15pct").alias("mode"), "event_id"
+    )
+    p = q_sampler_priority_override(spark, sf_dir).select(
+        F.lit("priority_zero").alias("mode"), "event_id"
+    )
+    return m.unionByName(p)
+
+
+def sampler_matrix_oracle_sql(sf_dir: str | None = None) -> str:
+    """Matrix oracle: the murmur3 literal keep-set (strong,
+    non-SQL-expressible half, see ``murmur3_oracle_sql``) unioned with
+    the priority-override arm's plain SQL."""
+    return (
+        "SELECT 'murmur3_15pct' AS mode, event_id FROM ("
+        + murmur3_oracle_sql(sf_dir)
+        + ") UNION ALL SELECT 'priority_zero' AS mode, event_id"
+        " FROM events WHERE event_type = 'error'"
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup matrix — the former ``dedup_exact`` and
     ``dedup_survivors`` rows consolidated under the 50-row driver
@@ -1276,8 +1309,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_multires": q_rollup_multires,
     "batch_trigger_counts": q_batch_trigger_counts,
     "hash_redact": q_hash_redact,
-    "sampler_priority_override": q_sampler_priority_override,
-    "sampler_murmur3": q_sampler_murmur3,
+    "sampler_matrix": q_sampler_matrix,
     "dedup_exact": q_dedup_exact,
     "curation_pipeline": q_curation_pipeline,
     "conversation_stats": q_conversation_stats,
@@ -1302,8 +1334,9 @@ ORACLES: dict[str, str] = {
     "rollup_multires": _oracle_rollup_multires(),
     "batch_trigger_counts": _oracle_batch_trigger_counts(),
     "hash_redact": _oracle_hash_redact(),
-    "sampler_priority_override": _oracle_sampler_priority_override(),
-    # sampler_murmur3: intentionally no oracle (murmur3 not SQL-expressible)
+    # sampler_matrix: oracle injected in __spark_entry__ (the murmur3
+    # keep-set half is a literal IN-list, not static SQL — see
+    # sampler_matrix_oracle_sql)
     "dedup_exact": _oracle_dedup_exact(),
     "curation_pipeline": _oracle_curation_pipeline(),
     "conversation_stats": _oracle_conversation_stats(),

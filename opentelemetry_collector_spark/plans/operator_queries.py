@@ -1252,6 +1252,231 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
 
+# ---------------------------------------------------------------------------
+# hostmetricsreceiver scrape roundtrip
+# ---------------------------------------------------------------------------
+
+# deterministic counter derivation shared verbatim by both engines:
+# every expression below is valid Spark SQL AND DuckDB SQL over the
+# events view, so the oracle can reproduce the exact counters the
+# snapshots were rendered from. Magnitudes are chosen so every derived
+# quantity the scrapers compute (mem used, swap used, fault minor,
+# fs reserved, …) stays positive.
+_HM_SPECIALS: dict[str, str] = {
+    "mem_total_kb": "33554432 + event_id % 997",
+    "mem_free_kb": "8000000 + (event_id * 3) % 9001",
+    "buffers_kb": "200000 + event_id % 101",
+    "cached_kb": "4000000 + (event_id * 7) % 1009",
+    "sreclaim_kb": "300000 + event_id % 211",
+    "sunreclaim_kb": "90000 + event_id % 97",
+    "swap_total_kb": "2097152 + event_id % 503",
+    "swap_free_kb": "1000000 + event_id % 499",
+    "swap_cached_kb": "40000 + event_id % 97",
+    "load1": "CAST(event_id % 3200 AS DOUBLE) / 100",
+    "load5": "CAST((event_id * 3) % 3200 AS DOUBLE) / 100",
+    "load15": "CAST((event_id * 5) % 3200 AS DOUBLE) / 100",
+    "tcp_established": "event_id % 4",
+    "tcp_listen": "(event_id * 3) % 3",
+    "tcp_time_wait": "(event_id * 5) % 2",
+    "vm_pgfault": "(event_id * 13 + 7) % 1000000 + 1000000",
+    "vm_pgmajfault": "(event_id * 11 + 3) % 1000000",
+    "fs_total_b": "500000000000 + (event_id % 1009) * 4096",
+    "fs_free_b": "200000000000 + (event_id % 2003) * 4096",
+    "fs_avail_b": "190000000000 + (event_id % 2003) * 4096",
+    "inodes_total": "3276800 + event_id % 701",
+    "inodes_free": "1000000 + event_id % 691",
+    "procs_running": "event_id % 64",
+    "procs_blocked": "event_id % 7",
+}
+
+
+def _hm_counters() -> dict[str, str]:
+    from ..sources.hostmetrics import COUNTER_COLS
+
+    out: dict[str, str] = {}
+    for i, name in enumerate(COUNTER_COLS):
+        out[name] = _HM_SPECIALS.get(
+            name, f"(event_id * {3 + 2 * i} + {17 * i + 5}) % 1000000"
+        )
+    return out
+
+
+_HM_IDS = ("host_id", "scrape_id", "ts")
+# every 20th event is a scrape: ~500 snapshots × 60-odd datapoints at
+# sf0.01 keeps the matrix in the same row band as the other wires
+_HM_FILTER = "event_id % 20 = 0"
+
+
+def q_hostmetrics_scrape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hostmetricsreceiver as a parse stage: deterministic counters →
+    /proc-format snapshot text → ALL eight scrapers back to datapoint
+    rows (sources/hostmetrics.py; receiver/hostmetricsreceiver).  The
+    oracle recomputes every datapoint straight from the counter
+    arithmetic, so a mis-parsed field, wrong unit scaling
+    (jiffies/USER_HZ, sectors×512, page×4096), dropped label, or
+    drifted state name breaks the value hash."""
+    from ..sources.hostmetrics import render_snapshots, scrape_snapshots
+
+    _register(spark, sf_dir, "events")
+    counters = (
+        spark.table("events")
+        .filter(F.expr(_HM_FILTER))
+        .select(
+            F.concat(
+                F.lit("host-"), (F.col("event_id") % 8).cast("string")
+            ).alias("host_id"),
+            F.col("event_id").alias("scrape_id"),
+            F.col("ts"),
+            *[F.expr(sql).alias(name) for name, sql in _hm_counters().items()],
+        )
+    )
+    snaps = _matrix_src("hostmetrics", render_snapshots(counters, id_cols=_HM_IDS))
+    dps = scrape_snapshots(snaps, id_cols=_HM_IDS)
+    return dps.select(
+        "host_id",
+        "scrape_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "name", "unit", "data_type", "monotonic", "temporality",
+        "labels", "int_value", "double_value",
+    )
+
+
+def _oracle_hostmetrics_scrape() -> str:
+    """Generated arm-per-datapoint oracle: the same counter SQL the
+    Spark derivation ran, pushed through each scraper's documented
+    value formula — the independent path that never sees the /proc
+    text."""
+    from ..sources.hostmetrics import CPU_STATES
+
+    counters = ",\n    ".join(
+        f"{sql} AS {name}" for name, sql in _hm_counters().items()
+    )
+    base = (
+        "WITH c AS (\n  SELECT 'host-' || CAST(event_id % 8 AS VARCHAR) AS host_id,\n"
+        "    event_id AS scrape_id, epoch_us(ts) AS ts_us,\n    "
+        + counters
+        + f"\n  FROM events WHERE {_HM_FILTER}\n)\n"
+    )
+    arms: list[str] = []
+
+    def arm(
+        name: str, unit: str, dtype: str, mono: bool, labels: str,
+        int_expr: str | None = None, dbl_expr: str | None = None,
+        where: str | None = None,
+    ) -> None:
+        iv = f"CAST({int_expr} AS BIGINT)" if int_expr else "CAST(NULL AS BIGINT)"
+        dv = f"CAST({dbl_expr} AS DOUBLE)" if dbl_expr else "CAST(NULL AS DOUBLE)"
+        temp = "CUMULATIVE" if dtype.endswith("Sum") else "UNSPECIFIED"
+        arms.append(
+            f"SELECT host_id, scrape_id, ts_us, '{name}' AS name,"
+            f" '{unit}' AS unit, '{dtype}' AS data_type,"
+            f" CAST({1 if mono else 0} AS BIGINT) AS monotonic,"
+            f" '{temp}' AS temporality, '{labels}' AS labels,"
+            f" {iv} AS int_value, {dv} AS double_value FROM c"
+            + (f" WHERE {where}" if where else "")
+        )
+
+    # cpu: /proc/stat field order user nice system idle iowait irq
+    # softirq steal → counter column suffixes by that order
+    fld_names = ("user", "nice", "system", "idle", "iowait", "irq",
+                 "softirq", "steal")
+    for cpu in (0, 1):
+        for fld_idx, state in CPU_STATES:
+            col = f"cpu{cpu}_{fld_names[fld_idx - 1]}"
+            arm("system.cpu.time", "s", "DoubleSum", True,
+                f"cpu=cpu{cpu},state={state}",
+                dbl_expr=f"CAST({col} AS DOUBLE) / 100")
+    for state, expr in (
+        ("used", "(mem_total_kb - mem_free_kb - buffers_kb - cached_kb"
+                 " - sreclaim_kb) * 1024"),
+        ("free", "mem_free_kb * 1024"),
+        ("buffered", "buffers_kb * 1024"),
+        ("cached", "(cached_kb + sreclaim_kb) * 1024"),
+        ("slab_reclaimable", "sreclaim_kb * 1024"),
+        ("slab_unreclaimable", "sunreclaim_kb * 1024"),
+    ):
+        arm("system.memory.usage", "By", "IntSum", False,
+            f"state={state}", int_expr=expr)
+    for minutes, col in (("1m", "load1"), ("5m", "load5"), ("15m", "load15")):
+        arm(f"system.cpu.load_average.{minutes}", "1", "DoubleGauge",
+            False, "", dbl_expr=col)
+    for name, unit, direction, expr in (
+        ("io", "By", "read", "d_sectors_read * 512"),
+        ("io", "By", "write", "d_sectors_written * 512"),
+        ("operations", "{operations}", "read", "d_reads"),
+        ("operations", "{operations}", "write", "d_writes"),
+        ("merged", "{operations}", "read", "d_reads_merged"),
+        ("merged", "{operations}", "write", "d_writes_merged"),
+    ):
+        arm(f"system.disk.{name}", unit, "IntSum", True,
+            f"device=sda,direction={direction}", int_expr=expr)
+    arm("system.disk.io_time", "s", "DoubleSum", True, "device=sda",
+        dbl_expr="CAST(d_ms_io AS DOUBLE) / 1000")
+    arm("system.disk.operation_time", "s", "DoubleSum", True,
+        "device=sda,direction=read",
+        dbl_expr="CAST(d_ms_reading AS DOUBLE) / 1000")
+    arm("system.disk.operation_time", "s", "DoubleSum", True,
+        "device=sda,direction=write",
+        dbl_expr="CAST(d_ms_writing AS DOUBLE) / 1000")
+    arm("system.disk.pending_operations", "{operations}", "IntSum",
+        False, "device=sda", int_expr="d_io_in_progress")
+    for name, unit, field in (
+        ("packets", "{packets}", "packets"),
+        ("dropped", "{packets}", "drop"),
+        ("errors", "{errors}", "errs"),
+        ("io", "By", "bytes"),
+    ):
+        arm(f"system.network.{name}", unit, "IntSum", True,
+            "device=eth0,direction=receive", int_expr=f"n_rx_{field}")
+        arm(f"system.network.{name}", unit, "IntSum", True,
+            "device=eth0,direction=transmit", int_expr=f"n_tx_{field}")
+    for state, col in (
+        ("ESTABLISHED", "tcp_established"), ("LISTEN", "tcp_listen"),
+        ("TIME_WAIT", "tcp_time_wait"),
+    ):
+        arm("system.network.connections", "{connections}", "IntSum",
+            False, f"protocol=tcp,state={state}", int_expr=col,
+            where=f"{col} > 0")
+    for state, expr in (
+        ("used", "(swap_total_kb - swap_free_kb - swap_cached_kb) * 1024"),
+        ("free", "swap_free_kb * 1024"),
+        ("cached", "swap_cached_kb * 1024"),
+    ):
+        arm("system.paging.usage", "By", "IntSum", False,
+            f"state={state}", int_expr=expr)
+    for typ, direction, col in (
+        ("major", "page_in", "vm_pswpin"),
+        ("major", "page_out", "vm_pswpout"),
+        ("minor", "page_in", "vm_pgpgin"),
+        ("minor", "page_out", "vm_pgpgout"),
+    ):
+        arm("system.paging.operations", "{operations}", "IntSum", True,
+            f"direction={direction},type={typ}", int_expr=f"{col} * 4096")
+    arm("system.paging.faults", "{faults}", "IntSum", True,
+        "type=major", int_expr="vm_pgmajfault")
+    arm("system.paging.faults", "{faults}", "IntSum", True,
+        "type=minor", int_expr="vm_pgfault - vm_pgmajfault")
+    arm("system.processes.count", "{processes}", "IntSum", False,
+        "status=running", int_expr="procs_running")
+    arm("system.processes.count", "{processes}", "IntSum", False,
+        "status=blocked", int_expr="procs_blocked")
+    arm("system.processes.created", "{processes}", "IntSum", True, "",
+        int_expr="processes_created")
+    fs_labels = "device=/dev/sda1,mode=rw,mountpoint=/,state={},type=ext4"
+    for state, expr in (
+        ("used", "fs_total_b - fs_free_b"), ("free", "fs_avail_b"),
+        ("reserved", "fs_free_b - fs_avail_b"),
+    ):
+        arm("system.filesystem.usage", "By", "IntSum", False,
+            fs_labels.format(state), int_expr=expr)
+    for state, expr in (
+        ("used", "inodes_total - inodes_free"), ("free", "inodes_free"),
+    ):
+        arm("system.filesystem.inodes.usage", "{inodes}", "IntSum",
+            False, fs_labels.format(state), int_expr=expr)
+    return base + "\nUNION ALL\n".join(arms)
+
+
 OP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "logging_exporter_debug": q_logging_exporter_debug,
     "expr_filter_metrics": q_expr_filter_metrics,
@@ -1263,6 +1488,7 @@ OP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "log_wire_roundtrips": q_log_wire_roundtrips,
     "fluentforward_roundtrip": q_fluentforward_roundtrip,
     "metric_wire_roundtrips": q_metric_wire_roundtrips,
+    "hostmetrics_scrape": q_hostmetrics_scrape,
     "config_pipeline": q_config_pipeline,
 }
 
@@ -1277,5 +1503,6 @@ OP_ORACLES: dict[str, str] = {
     "log_wire_roundtrips": _oracle_log_wire_roundtrips(),
     "fluentforward_roundtrip": _oracle_fluentforward_roundtrip(),
     "metric_wire_roundtrips": _oracle_metric_wire_roundtrips(),
+    "hostmetrics_scrape": _oracle_hostmetrics_scrape(),
     "config_pipeline": _oracle_config_pipeline(),
 }
