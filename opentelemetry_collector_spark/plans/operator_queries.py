@@ -1316,11 +1316,16 @@ def q_hostmetrics_scrape(spark: SparkSession, sf_dir: str) -> DataFrame:
     (jiffies/USER_HZ, sectors×512, page×4096), dropped label, or
     drifted state name breaks the value hash."""
     from ..sources.hostmetrics import render_snapshots, scrape_snapshots
+    from ..trainingdata.text import ensure_compute_parallelism
 
     _register(spark, sf_dir, "events")
+    # the snapshot set is small on disk but render+parse cost is per
+    # ROW (format_string + regex over 8 sections), so re-split an
+    # under-split scan before the CPU-bound stages (text.py:43)
     counters = (
-        spark.table("events")
-        .filter(F.expr(_HM_FILTER))
+        ensure_compute_parallelism(
+            spark.table("events").filter(F.expr(_HM_FILTER))
+        )
         .select(
             F.concat(
                 F.lit("host-"), (F.col("event_id") % 8).cast("string")
