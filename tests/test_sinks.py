@@ -206,11 +206,16 @@ class TestConcurrentWrites:
         assert done == [1]
         assert materialize_concurrent({}) == {}
 
+    @pytest.mark.slow
     def test_run_and_write_concurrent_equals_sequential(
         self, spark, tiny_transcripts, wh
     ):
         """Concurrent submission changes scheduling only: same commits,
-        same rows, same lineage totals as the sequential path."""
+        same rows, same lineage totals as the sequential path.
+
+        Slow lane: runs the full sink pipeline twice; the fast lane
+        keeps the sequential run_and_write e2e tests and the
+        driver-side scheduling unit test above."""
         seq = run_and_write(
             spark, tiny_transcripts, wh, "runC-seq", concurrent=False
         )

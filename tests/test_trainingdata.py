@@ -1360,6 +1360,11 @@ class TestSaltedAgg:
 
 
 class TestIvf:
+    # fast lane keeps the directed end-to-end gate
+    # (test_ivf_finds_the_near_dup_cluster); the determinism and
+    # recall-widening properties re-train centroids (the expensive
+    # step) and are additionally covered by the td_topk driver row
+    @pytest.mark.slow
     def test_centroids_deterministic_and_shaped(self, vectors):
         from opentelemetry_collector_spark.trainingdata import ivf_train_centroids
 
@@ -1381,6 +1386,7 @@ class TestIvf:
         # the tight 0/1/2 cluster shares a centroid, so nprobe=1 finds them
         assert {r["vec_id"] for r in got} == {0, 1, 2}
 
+    @pytest.mark.slow
     def test_nprobe_widens_recall(self, vectors):
         from opentelemetry_collector_spark.trainingdata import (
             brute_force_topk, ivf_topk, ivf_train_centroids,
@@ -1562,7 +1568,13 @@ class TestSimHashBlockScheme:
     IDENTICAL to the legacy single-band layout and to brute force —
     banding only generates candidates; exact hamming verifies — while
     using far wider keys (the scale fix for the n²/256 candidate join
-    the sf1 bench exposed)."""
+    the sf1 bench exposed).
+
+    Slow lane: three-way randomized equivalence over a 160-doc corpus;
+    the fast lane keeps TestSimHashLsh's directed hamming/recall tests
+    and the td_simhash driver row pins blocked-layout output values."""
+
+    pytestmark = pytest.mark.slow
 
     @pytest.fixture(scope="class")
     def near_dup_corpus(self, spark):
